@@ -1,0 +1,28 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set env BEFORE jax is imported anywhere; pytest imports conftest first.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep tests deterministic / quiet.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# This image pre-imports jax from sitecustomize, so the env var above was
+# already snapshotted into jax.config — override the live config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2024)
