@@ -1,0 +1,228 @@
+"""2-D segmentation U-Nets (Flax linen, NHWC, bf16-capable).
+
+Capability target: reference src/models/unet_factory.py:4-32 builds
+``smp.Unet`` / ``smp.UnetPlusPlus`` with a ResNet encoder (default resnet34,
+no pretrained weights) — an encoder/decoder with BatchNorm and skip
+connections. This module provides the same model family designed TPU-first:
+
+  * NHWC layout end-to-end (TPU conv layout; channels land on the 128-lane
+    axis of the MXU),
+  * parameterized compute dtype: params live in f32, activations/convs can
+    run in bf16 (replaces torch AMP + GradScaler — bf16 needs no loss
+    scaling),
+  * static, compiler-friendly control flow only (pure module tree; all
+    shapes static under jit).
+
+Architecture mirrors the smp design it replaces (so capacity/behavior
+match): ResNet encoder stages [stem /2, pool+layer1 /4, layer2 /8,
+layer3 /16, layer4 /32], U-Net decoder with nearest-2x upsampling,
+skip concatenation, and double conv3x3-BN-ReLU blocks with channels
+(256, 128, 64, 32, 16), then a conv3x3 segmentation head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ResNet stage definitions: name -> (blocks per stage, bottleneck?)
+_RESNET_CFG = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+}
+
+_conv_init = nn.initializers.he_normal()
+
+
+class _BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init)(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init)(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class _Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        out_ch = self.features * 4
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.features, (3, 3),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(y)
+        y = norm()(y)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = nn.Conv(out_ch, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init)(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet-18/34/50 feature extractor returning pyramid features.
+
+    Returns [x (identity), f1 (/2), f2 (/4), f3 (/8), f4 (/16), f5 (/32)],
+    the skip layout smp's UnetDecoder consumes.
+    """
+    name_: str = "resnet34"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        blocks, bottleneck = _RESNET_CFG[self.name_]
+        block_cls = _Bottleneck if bottleneck else _BasicBlock
+        feats = [x]
+
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        feats.append(y)                                    # /2
+
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, (n_blocks, width) in enumerate(zip(blocks, (64, 128, 256, 512))):
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                y = block_cls(width, stride=stride, dtype=self.dtype)(y, train)
+            feats.append(y)                                # /4 /8 /16 /32
+        return feats
+
+
+class _DecoderBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        if skip is not None:
+            # crop if odd-size mismatch (inputs padded to /32 avoid this)
+            if x.shape[1] != skip.shape[1] or x.shape[2] != skip.shape[2]:
+                x = x[:, :skip.shape[1], :skip.shape[2], :]
+            x = jnp.concatenate([x, skip], axis=-1)
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, kernel_init=_conv_init)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class ResNetEncoderUNet(nn.Module):
+    """smp.Unet-equivalent: ResNet encoder + U-Net decoder + conv3x3 head.
+
+    Input/Output NHWC; logits returned in float32 regardless of compute
+    dtype (loss math stays full precision).
+    """
+    encoder: str = "resnet34"
+    classes: int = 1
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        feats = ResNetEncoder(self.encoder, dtype=self.dtype)(x, train)
+        # skips (deepest first, excluding the bottleneck f5): f4,f3,f2,f1,None
+        skips = [feats[4], feats[3], feats[2], feats[1], None]
+        y = feats[5]
+        for ch, skip in zip(self.decoder_channels, skips):
+            y = _DecoderBlock(ch, dtype=self.dtype)(y, skip, train)
+        logits = nn.Conv(self.classes, (3, 3), padding="SAME",
+                         dtype=self.dtype, kernel_init=_conv_init)(y)
+        return logits.astype(jnp.float32)
+
+
+class UNetPlusPlus(nn.Module):
+    """smp.UnetPlusPlus-equivalent: nested dense skip decoder over the same
+    ResNet encoder (Zhou et al. 2018). X[i][j] nodes; output from X[0][4]."""
+    encoder: str = "resnet34"
+    classes: int = 1
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        feats = ResNetEncoder(self.encoder, dtype=self.dtype)(x, train)
+        # Encoder levels for the nested grid, shallow->deep: /2 /4 /8 /16 /32
+        enc = [feats[1], feats[2], feats[3], feats[4], feats[5]]
+        depth = len(enc) - 1  # 4 nested columns
+        # channels per decoder row (same schedule as the plain decoder,
+        # deepest row first in decoder_channels order)
+        row_ch = list(self.decoder_channels)[:depth][::-1]  # shallow->deep
+
+        def up2(t):
+            return jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+
+        grid = {(i, 0): enc[i] for i in range(depth + 1)}
+        for j in range(1, depth + 1):
+            for i in range(depth + 1 - j):
+                ups = up2(grid[(i + 1, j - 1)])
+                cat = [grid[(i, k)] for k in range(j)] + [ups]
+                y = jnp.concatenate(cat, axis=-1)
+                # double conv (upsampling already applied to the deep input)
+                for _ in range(2):
+                    y = nn.Conv(row_ch[i], (3, 3), padding="SAME",
+                                use_bias=False, dtype=self.dtype,
+                                kernel_init=_conv_init)(y)
+                    y = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     dtype=self.dtype)(y)
+                    y = nn.relu(y)
+                grid[(i, j)] = y
+        # final node sits at /2; one more decoder step up to full res
+        y = up2(grid[(0, depth)])
+        for _ in range(2):
+            y = nn.Conv(self.decoder_channels[-1], (3, 3), padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=_conv_init)(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(y)
+            y = nn.relu(y)
+        logits = nn.Conv(self.classes, (3, 3), padding="SAME",
+                         dtype=self.dtype, kernel_init=_conv_init)(y)
+        return logits.astype(jnp.float32)
