@@ -1,0 +1,138 @@
+"""Volume inference.
+
+Fills the reference's declared-but-empty inference surface
+(src/infer/segment.py and src/cli.py are 0-byte stubs; guide.txt:87
+references `python -m src.infer --ckpt ...` — SURVEY.md C24). Capabilities:
+
+  - segment_volume_2d: run a 2-D/2.5-D model over every slice of a volume
+    in device-sized batches (with the 2.5-D neighbor stacking semantics of
+    dataio/datasets.py:89-95).
+  - sliding_window_3d: patch-based 3-D inference with overlap blending
+    (gaussian or constant importance), the standard counterpart of the
+    reference's 3-D patch training (train_unet3d.py:39-54).
+  - evaluate_volume: on-device Dice/IoU/HD95/ASSD per volume (the reference
+    computed HD95/ASSD on host via scipy; here volumes never leave HBM).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import hd95 as _hd95, assd as _assd
+from ..train.metrics import dice_bin, iou_bin
+
+
+def _neighbor_stack(vol: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(S,H,W) -> (S,H,W,k) edge-clamped neighbor channels."""
+    s = vol.shape[0]
+    half = k // 2
+    idx = jnp.arange(s)
+    cols = [vol[jnp.clip(idx + d, 0, s - 1)] for d in range(-half, half + 1)]
+    return jnp.stack(cols, axis=-1)
+
+
+def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
+                      batch_size: int = 16, classes: int = 1) -> np.ndarray:
+    """Segment a whole volume with a 2-D model.
+
+    apply_fn: (x NHWC) -> logits NHWC (already bound to params).
+    volume: (S,1,H,W) or (S,H,W) float32 (preprocessed/z-scored).
+    Returns probabilities (S,C,H,W) float32.
+    """
+    vol = jnp.asarray(volume)
+    if vol.ndim == 4:
+        vol = vol[:, 0]
+    x = _neighbor_stack(vol, k)              # (S,H,W,k)
+    s = x.shape[0]
+    outs = []
+    for start in range(0, s, batch_size):
+        xb = x[start: start + batch_size]
+        logits = apply_fn(xb)
+        logits = jnp.transpose(logits, (0, 3, 1, 2))
+        probs = (jax.nn.sigmoid(logits) if classes == 1
+                 else jax.nn.softmax(logits, axis=1))
+        outs.append(probs)
+    return np.asarray(jnp.concatenate(outs, axis=0), np.float32)
+
+
+@lru_cache(maxsize=8)
+def _gaussian_importance(roi: Tuple[int, int, int], sigma_scale: float
+                         ) -> np.ndarray:
+    """Separable gaussian importance map over a 3-D ROI (MONAI-style)."""
+    maps = []
+    for n in roi:
+        x = np.arange(n, dtype=np.float64)
+        c = (n - 1) / 2.0
+        sig = max(n * sigma_scale, 1e-3)
+        maps.append(np.exp(-0.5 * ((x - c) / sig) ** 2))
+    m = maps[0][:, None, None] * maps[1][None, :, None] * maps[2][None, None, :]
+    m = m / m.max()
+    return np.maximum(m, 1e-3).astype(np.float32)
+
+
+def sliding_window_3d(apply_fn: Callable, volume: np.ndarray,
+                      roi: Tuple[int, int, int] = (64, 160, 160),
+                      overlap: float = 0.5, blend: str = "gaussian",
+                      classes: int = 1) -> np.ndarray:
+    """3-D sliding-window inference with overlap blending.
+
+    apply_fn: (x NDHWC) -> logits NDHWC, bound to params.
+    volume: (D,H,W) float32. Returns probabilities (C,D,H,W).
+    """
+    vol = np.asarray(volume, np.float32)
+    d, h, w = vol.shape
+    rd, rh, rw = (min(roi[0], d), min(roi[1], h), min(roi[2], w))
+    step = [max(1, int(r * (1.0 - overlap))) for r in (rd, rh, rw)]
+
+    def starts(total, r, st):
+        if total <= r:
+            return [0]
+        s = list(range(0, total - r + 1, st))
+        if s[-1] != total - r:
+            s.append(total - r)
+        return s
+
+    imp = (_gaussian_importance((rd, rh, rw), 0.125) if blend == "gaussian"
+           else np.ones((rd, rh, rw), np.float32))
+
+    out_c = classes if classes > 1 else 1
+    acc = np.zeros((out_c, d, h, w), np.float32)
+    norm = np.zeros((1, d, h, w), np.float32)
+    for z0 in starts(d, rd, step[0]):
+        for y0 in starts(h, rh, step[1]):
+            for x0 in starts(w, rw, step[2]):
+                patch = vol[z0:z0 + rd, y0:y0 + rh, x0:x0 + rw]
+                logits = apply_fn(jnp.asarray(patch)[None, ..., None])
+                logits = np.asarray(logits)[0, ..., :]        # (D,H,W,C)
+                logits = np.moveaxis(logits, -1, 0)           # (C,D,H,W)
+                acc[:, z0:z0+rd, y0:y0+rh, x0:x0+rw] += logits * imp
+                norm[:, z0:z0+rd, y0:y0+rh, x0:x0+rw] += imp
+    logits = acc / np.maximum(norm, 1e-8)
+    t = jnp.asarray(logits)
+    probs = (jax.nn.sigmoid(t) if classes == 1 else jax.nn.softmax(t, axis=0))
+    return np.asarray(probs, np.float32)
+
+
+def evaluate_volume(pred_mask: np.ndarray, gt_mask: np.ndarray,
+                    spacing: Tuple[float, float] = (1.0, 1.0),
+                    with_surface: bool = True) -> Dict[str, float]:
+    """Per-volume report metrics, averaged over slices (medimetrics.py:8-44
+    semantics on {0,1} slices), computed on device."""
+    pred = jnp.asarray(pred_mask)
+    gt = jnp.asarray(gt_mask)
+    if pred.ndim == 2:
+        pred, gt = pred[None], gt[None]
+    d = jax.vmap(dice_bin)(pred, gt)
+    i = jax.vmap(iou_bin)(pred, gt)
+    out = {"dice": float(jnp.mean(d)), "iou": float(jnp.mean(i))}
+    if with_surface:
+        h95 = jax.vmap(lambda p, g: _hd95(p, g, spacing))(pred, gt)
+        sd = jax.vmap(lambda p, g: _assd(p, g, spacing))(pred, gt)
+        out["hd95"] = float(jnp.mean(h95))
+        out["assd"] = float(jnp.mean(sd))
+    return out

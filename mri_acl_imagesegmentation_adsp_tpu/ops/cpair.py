@@ -1,0 +1,74 @@
+"""Complex arithmetic on real-pair (..., 2) arrays.
+
+Parity target: vendored DL_reconstruction/math_fn.py:12-99 (complex_mul /
+complex_conj / complex_abs / complex_abs_sq on (..., 2) tensors — the
+fastMRI real-pair convention). On this TPU backend complex dtypes are
+unavailable, so these are THE complex primitives of the device path
+(ops/fftc.py, recon/grappa.py, recon/varnet.py build on them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def cmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a_re + i a_im)(b_re + i b_im) on (..., 2) pairs."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+def cconj(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([a[..., 0], -a[..., 1]], axis=-1)
+
+
+def cabs(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(a[..., 0] ** 2 + a[..., 1] ** 2)
+
+
+def cabs_sq(a: jnp.ndarray) -> jnp.ndarray:
+    return a[..., 0] ** 2 + a[..., 1] ** 2
+
+
+def cmatmul(a: jnp.ndarray, b: jnp.ndarray,
+            precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Complex matmul of pair matrices: (..., M, K, 2) @ (..., K, N, 2)."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    mm = lambda x, y: jnp.matmul(x, y, precision=precision)
+    return jnp.stack([mm(ar, br) - mm(ai, bi),
+                      mm(ar, bi) + mm(ai, br)], axis=-1)
+
+
+def csolve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A X = B for pair matrices A (N,N,2), B (N,M,2).
+
+    Uses the real block embedding [[Ar, -Ai], [Ai, Ar]] — one real solve on
+    the MXU-friendly doubled system.
+    """
+    n = a.shape[0]
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    block = jnp.block([[ar, -ai], [ai, ar]])
+    rhs = jnp.concatenate([br, bi], axis=0)
+    sol = jnp.linalg.solve(block, rhs)
+    return jnp.stack([sol[:n], sol[n:]], axis=-1)
+
+
+def to_pair(x) -> jnp.ndarray:
+    """complex (host) or real array -> (..., 2) float32 pair."""
+    x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+    if np.iscomplexobj(x):
+        return jnp.stack([jnp.asarray(x.real, jnp.float32),
+                          jnp.asarray(x.imag, jnp.float32)], axis=-1)
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+
+
+def to_complex(x: jnp.ndarray) -> np.ndarray:
+    """(..., 2) pair -> host complex64 ndarray."""
+    x = np.asarray(x)
+    return (x[..., 0] + 1j * x[..., 1]).astype(np.complex64)

@@ -1,0 +1,67 @@
+"""Tests for on-device augmentation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mri_acl_imagesegmentation_adsp_tpu.train.augment import (
+    augment_batch, sample_params,
+)
+
+
+def _batch(rng, b=8, h=32, w=32, c=1):
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    y = (rng.random((b, h, w)) > 0.5).astype(np.int32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_none_is_identity(rng):
+    x, y = _batch(rng)
+    x2, y2 = augment_batch(x, y, jax.random.PRNGKey(0), "none")
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
+
+
+def test_shapes_and_mask_values_preserved(rng):
+    x, y = _batch(rng)
+    for recipe in ["light", "medium"]:
+        x2, y2 = augment_batch(x, y, jax.random.PRNGKey(1), recipe)
+        assert x2.shape == x.shape and y2.shape == y.shape
+        vals = np.unique(np.asarray(y2))
+        assert set(vals).issubset({0, 1}), "mask must stay binary (nearest)"
+
+
+def test_deterministic_given_key(rng):
+    x, y = _batch(rng)
+    a1 = augment_batch(x, y, jax.random.PRNGKey(7), "light")
+    a2 = augment_batch(x, y, jax.random.PRNGKey(7), "light")
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    b = augment_batch(x, y, jax.random.PRNGKey(8), "light")
+    assert not np.array_equal(np.asarray(a1[0]), np.asarray(b[0]))
+
+
+def test_params_respect_recipe_ranges(rng):
+    p = sample_params(jax.random.PRNGKey(0), 512, "light")
+    assert not np.any(np.asarray(p.vflip)), "light recipe has no vflip"
+    assert np.all(np.abs(np.asarray(p.shift_y)) <= 0.03 + 1e-6)
+    assert np.all(np.abs(np.asarray(p.scale) - 1.0) <= 0.05 + 1e-6)
+    assert np.all(np.abs(np.asarray(p.angle)) <= np.deg2rad(10) + 1e-6)
+    pm = sample_params(jax.random.PRNGKey(0), 512, "medium")
+    assert np.any(np.asarray(pm.vflip))
+
+
+def test_hflip_only_is_exact_reverse(rng):
+    """With shift/scale/rot suppressed, flipped samples are exact column
+    reversals (bilinear warp at identity params must not blur)."""
+    x, y = _batch(rng, b=64)
+    x2, y2 = augment_batch(x, y, jax.random.PRNGKey(3), "light")
+    x_np, x2_np = np.asarray(x), np.asarray(x2)
+    y_np, y2_np = np.asarray(y), np.asarray(y2)
+    ok = 0
+    for i in range(64):
+        cands = [x_np[i], x_np[i, :, ::-1]]
+        if any(np.allclose(x2_np[i], c, atol=1e-5) for c in cands):
+            ok += 1
+            m_cands = [y_np[i], y_np[i, :, ::-1]]
+            assert any(np.array_equal(y2_np[i], m) for m in m_cands)
+    # ~half the batch skips SSR (p=.5); all of those must be exact
+    assert ok > 10

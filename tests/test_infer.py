@@ -1,0 +1,94 @@
+"""Tests for volume inference + report metrics facade."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mri_acl_imagesegmentation_adsp_tpu.infer import (
+    segment_volume_2d, sliding_window_3d, evaluate_volume,
+)
+from mri_acl_imagesegmentation_adsp_tpu.metrics import (
+    dice_bin, iou_bin, hd95, assd,
+)
+
+
+def test_segment_volume_2d_shapes_and_25d(rng):
+    vol = rng.standard_normal((7, 1, 32, 32)).astype(np.float32)
+
+    calls = []
+
+    def apply_fn(x):
+        calls.append(np.asarray(x).shape)
+        return jnp.sum(x, axis=-1, keepdims=True) * 0.0 + x[..., :1]
+
+    probs = segment_volume_2d(apply_fn, vol, k=3, batch_size=4)
+    assert probs.shape == (7, 1, 32, 32)
+    assert all(s[-1] == 3 for s in calls), "2.5-D stack must be channelized"
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_segment_volume_edge_clamping(rng):
+    """First slice's 2.5-D stack must clamp to slice 0 (datasets.py:94)."""
+    vol = np.arange(5, dtype=np.float32)[:, None, None] * np.ones((5, 4, 4),
+                                                                  np.float32)
+    seen = {}
+
+    def apply_fn(x):
+        seen["first"] = np.asarray(x)[0]
+        return x[..., :1]
+
+    segment_volume_2d(apply_fn, vol[:, None], k=3, batch_size=8)
+    first = seen["first"]
+    assert np.allclose(first[..., 0], 0) and np.allclose(first[..., 1], 0)
+    assert np.allclose(first[..., 2], 1)
+
+
+def test_sliding_window_3d_blending_constant_logits(rng):
+    """Identity-logit model -> uniform probability everywhere despite
+    overlapping windows (blend normalization must cancel)."""
+    vol = rng.standard_normal((20, 24, 24)).astype(np.float32)
+
+    def apply_fn(x):
+        return jnp.full(x.shape, 1.7)  # constant logits
+
+    probs = sliding_window_3d(apply_fn, vol, roi=(8, 12, 12), overlap=0.5,
+                              blend="gaussian")
+    assert probs.shape == (1, 20, 24, 24)
+    expect = 1.0 / (1.0 + np.exp(-1.7))
+    np.testing.assert_allclose(probs, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sliding_window_3d_covers_whole_volume(rng):
+    vol = rng.standard_normal((10, 30, 17)).astype(np.float32)
+
+    def apply_fn(x):
+        return x  # echo: logits = input values
+
+    probs = sliding_window_3d(apply_fn, vol, roi=(4, 16, 16), overlap=0.25)
+    assert np.isfinite(probs).all()
+    # sign of vol must drive probs (>0.5 where vol>0) in window interiors
+    inner = (slice(0, 1), slice(2, 8), slice(4, 12), slice(4, 12))
+    agree = ((probs[inner] > 0.5) == (vol[None][inner] > 0)).mean()
+    assert agree > 0.95
+
+
+def test_evaluate_volume_matches_facade(rng):
+    yy, xx = np.mgrid[:32, :32]
+    a = ((yy - 16) ** 2 + (xx - 16) ** 2 <= 64).astype(np.uint8)
+    b = np.roll(a, 2, axis=0)
+    out = evaluate_volume(a, b)
+    assert abs(out["dice"] - dice_bin(a, b)) < 1e-6
+    assert abs(out["iou"] - iou_bin(a, b)) < 1e-6
+    assert abs(out["hd95"] - hd95(a, b)) < 1e-5
+    assert abs(out["assd"] - assd(a, b)) < 1e-5
+
+
+def test_metrics_facade_vs_scipy_reference(rng):
+    from scipy.ndimage import distance_transform_edt as np_edt
+    a = rng.random((40, 40)) > 0.6
+    b = rng.random((40, 40)) > 0.6
+    d = np.concatenate([np_edt(~b)[a], np_edt(~a)[b]])
+    assert abs(hd95(a, b) - np.percentile(d, 95)) < 1e-3
+    assert abs(assd(a, b) - d.mean()) < 1e-3
+    inter = (a & b).sum()
+    e_dice = (2 * inter + 1e-7) / (a.sum() + b.sum() + 1e-7)
+    assert abs(dice_bin(a.astype(np.uint8), b.astype(np.uint8)) - e_dice) < 1e-6

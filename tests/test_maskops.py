@@ -16,82 +16,14 @@ from mri_acl_imagesegmentation_adsp_tpu.ops import (
 )
 
 
-# ---------------- oracles ----------------
-
-def np_disk(radius):
-    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
-    return (yy ** 2 + xx ** 2 <= radius ** 2)
-
-
-def np_otsu(image, nbins=256):
-    """skimage.filters.threshold_otsu, transcribed."""
-    counts, bin_edges = np.histogram(image.ravel(), bins=nbins,
-                                     range=(image.min(), image.max()))
-    counts = counts.astype(float)
-    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2.0
-    weight1 = np.cumsum(counts)
-    weight2 = np.cumsum(counts[::-1])[::-1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        mean1 = np.cumsum(counts * bin_centers) / weight1
-        mean2 = (np.cumsum((counts * bin_centers)[::-1]) /
-                 np.cumsum(counts[::-1]))[::-1]
-    variance12 = weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:]) ** 2
-    idx = np.nanargmax(variance12)
-    return bin_centers[idx]
-
-
-def np_erosion(m, se):
-    # skimage binary_erosion: out-of-image treated as True
-    return ndi.binary_erosion(m, structure=se, border_value=1)
-
-
-def np_dilation(m, se):
-    # skimage binary_dilation: out-of-image treated as False
-    return ndi.binary_dilation(m, structure=se, border_value=0)
-
-
-def np_remove_small(m, min_size=256):
-    lbl, n = ndi.label(m, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
-    out = m.copy()
-    for i in range(1, n + 1):
-        comp = lbl == i
-        if comp.sum() < min_size:
-            out[comp] = False
-    return out
-
-
-def np_body_mask(img):
-    """Reference _body_mask with skimage-semantics oracles."""
-    v = img - img.min()
-    vmax = v.max()
-    if vmax <= 0:
-        return np.zeros_like(img, dtype=np.uint8)
-    v = v / vmax
-    if np.all(v == v.flat[0]):
-        th = float(v.mean())
-    else:
-        th = np_otsu(v)
-    if not np.isfinite(th):
-        th = 0.5
-    m = (v > th)
-    if m.sum() == 0:
-        return m.astype(np.uint8)
-    se = np_disk(2)
-    m = np_dilation(np_erosion(m, se), se)   # opening
-    m = np_erosion(np_dilation(m, se), se)   # closing
-    m = np_remove_small(m.astype(bool), 256)
-    return m.astype(np.uint8)
+from oracles import (
+    np_disk, np_otsu, np_erosion, np_dilation, np_remove_small, np_body_mask,
+    synthetic_knee as _synth,
+)
 
 
 def synthetic_knee(rng, h=128, w=128):
-    """Bright blob on dark noisy background, like a magnitude MRI slice."""
-    yy, xx = np.mgrid[:h, :w].astype(np.float32)
-    cy, cx = h / 2 + rng.uniform(-8, 8), w / 2 + rng.uniform(-8, 8)
-    r = min(h, w) * rng.uniform(0.25, 0.35)
-    blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r))).astype(np.float32)
-    noise = rng.random((h, w)).astype(np.float32) * 0.05
-    speck = (rng.random((h, w)) > 0.995).astype(np.float32) * 0.9  # small bright specks
-    return blob + noise + speck
+    return _synth(rng, h, w)
 
 
 # ---------------- tests ----------------

@@ -1,0 +1,233 @@
+"""End-to-end data-pipeline tests: adapters -> preprocess -> pack -> loader.
+
+Pins the framework against a full NumPy transcription of the reference
+pipeline (oracles.py) on synthetic fastMRI-style h5 volumes.
+"""
+import json
+import os
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from oracles import (
+    synthetic_kspace_volume, write_fake_fastmri_h5, np_preprocess_slice,
+)
+
+from mri_acl_imagesegmentation_adsp_tpu.data import (
+    FastMRISinglecoilAdapter, MRIKneePreprocessor, TrainerDataset,
+)
+from mri_acl_imagesegmentation_adsp_tpu.data.packer import (
+    build_preprocess, group_records_by_file, save_pack,
+)
+from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import (
+    SliceStore, KneeNPZ2DSlices, epoch_permutation, gather_batch,
+)
+
+
+@pytest.fixture
+def fake_fastmri_root(tmp_path, rng):
+    """3 synthetic single-coil volumes (8 slices of 64x48)."""
+    root = tmp_path / "singlecoil"
+    root.mkdir()
+    vols = {}
+    for i in range(3):
+        ksp, imgs = synthetic_kspace_volume(rng, s=8, h=64, w=48)
+        name = f"file{i:03d}.h5"
+        write_fake_fastmri_h5(str(root / name), ksp, target=imgs)
+        vols[str(root / name)] = ksp
+    return root, vols
+
+
+# ---------------------------------------------------------------------------
+# Adapters
+# ---------------------------------------------------------------------------
+
+def test_adapter_discovery_and_record_contract(fake_fastmri_root):
+    root, vols = fake_fastmri_root
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+    records = adapter.discover_records()
+    assert len(records) == 24  # 3 vols x 8 slices
+    rec = adapter.load_record(records[0])
+    assert set(rec) == {"image", "mask", "label", "kspace", "target", "meta"}
+    assert rec["kspace"].shape == (64, 48)
+    assert rec["target"].shape == (64, 48)
+    assert rec["meta"]["target_key"] == "reconstruction_esc"
+    assert rec["meta"]["slice_idx"] == 0
+
+
+def test_adapter_bulk_volume_matches_per_slice(fake_fastmri_root):
+    root, vols = fake_fastmri_root
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+    fp = sorted(vols)[0]
+    vol = adapter.load_volume(fp)
+    assert vol["kspace_pair"].shape == (8, 64, 48, 2)
+    ksp = vols[fp]
+    np.testing.assert_allclose(vol["kspace_pair"][..., 0], ksp.real, atol=1e-6)
+    np.testing.assert_allclose(vol["kspace_pair"][..., 1], ksp.imag, atol=1e-6)
+
+
+def test_trainer_dataset_meta_merging(fake_fastmri_root):
+    root, _ = fake_fastmri_root
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+    ds = TrainerDataset(adapter)
+    assert len(ds) == 24
+    s = ds[5]
+    # the adapter stamps its own tag (reference fastmri_adapter.py:51)
+    assert s["meta"]["adapter"] == "fastmri_singlecoil-h5"
+    assert s["meta"]["index"] == 5
+    assert s["image"].shape == (64, 48)  # falls back to target
+
+    ds_pre = TrainerDataset(adapter, preprocessor=MRIKneePreprocessor(
+        out_size=(32, 32)))
+    s = ds_pre[0]
+    assert s["image"].shape == (32, 32)
+    assert s["mask"].shape == (32, 32)
+    # records carry reconstruction_esc, which outranks kspace (priority
+    # image -> target -> kspace, mri_preprocess.py:267-296)
+    assert s["source"] == "target"
+
+
+# ---------------------------------------------------------------------------
+# Preprocess parity vs reference oracle
+# ---------------------------------------------------------------------------
+
+def test_preprocess_record_matches_reference_chain(fake_fastmri_root, rng):
+    root, vols = fake_fastmri_root
+    ksp = next(iter(vols.values()))[0]  # one slice
+    pre = MRIKneePreprocessor(out_size=(80, 80))
+    # kspace-only record: priority must select kspace path
+    out = pre.preprocess_record({"kspace": ksp, "meta": {"slice_idx": 0}})
+    assert out["source"] == "kspace"
+    img_z, img_01, mk = np_preprocess_slice(ksp, out_size=(80, 80))
+    assert (out["mask"] != mk).mean() < 0.005
+    np.testing.assert_allclose(out["img_z"], img_z, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(out["img_01"], img_01, rtol=1e-3, atol=2e-3)
+
+
+def test_preprocess_input_priority(rng):
+    pre = MRIKneePreprocessor(out_size=(32, 32))
+    img = np.abs(rng.standard_normal((40, 40))).astype(np.float32)
+    ksp = (rng.standard_normal((40, 40)) + 1j * rng.standard_normal((40, 40))
+           ).astype(np.complex64)
+    out = pre.preprocess_record({"image": img, "kspace": ksp, "meta": {}})
+    assert out["source"] == "image"
+    out = pre.preprocess_record({"target": img, "kspace": ksp, "meta": {}})
+    assert out["source"] == "target"
+    out = pre.preprocess_record({"kspace": ksp, "meta": {}})
+    assert out["source"] == "kspace"
+    with pytest.raises(ValueError):
+        pre.preprocess_record({"meta": {}})
+    with pytest.raises(ValueError):
+        # (2,H,W) real/imag split is rejected like the reference
+        pre.preprocess_record({"kspace": np.zeros((2, 8, 8), np.float32)})
+
+
+def test_preprocess_records_keep_band():
+    pre = MRIKneePreprocessor(out_size=(16, 16), slice_keep=(0.3, 0.7))
+    recs = [{"image": np.full((24, 24), i, np.float32) + np.eye(24, dtype=np.float32),
+             "meta": {"slice_idx": i}} for i in range(10)]
+    pack = pre.preprocess_records(recs)
+    # reference arithmetic: s0 = int(10*.3) = 3, s1 = int(10*.7) = 7
+    assert pack["indices"] == [3, 4, 5, 6]
+    assert pack["tensor"].shape == (4, 1, 16, 16)
+    assert pack["mask"].shape == (4, 16, 16)
+
+
+def test_volume_chain_equals_slice_chain(fake_fastmri_root):
+    root, vols = fake_fastmri_root
+    ksp = next(iter(vols.values()))
+    pre = MRIKneePreprocessor(out_size=(48, 48), slice_keep=(0.0, 1.0))
+    recs = [{"kspace": ksp[s], "meta": {"slice_idx": s}}
+            for s in range(ksp.shape[0])]
+    pack = pre.preprocess_records(recs)          # vmapped fast path
+    one = pre.preprocess_record(recs[3])         # per-slice path
+    np.testing.assert_allclose(pack["tensor"][3, 0], one["img_z"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(pack["mask"][3], one["mask"])
+
+
+# ---------------------------------------------------------------------------
+# Packer / artifact layout
+# ---------------------------------------------------------------------------
+
+def test_build_preprocess_artifact_layout(fake_fastmri_root, tmp_path):
+    root, vols = fake_fastmri_root
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+    out = tmp_path / "artifacts"
+    args = SimpleNamespace(root_dir=str(root), out_dir=str(out), height=32,
+                           width=32, slice_keep="0.3,0.7", clip="1.0,99.5",
+                           use_n4=False, use_denoise=False, preview_max=2)
+    summary = build_preprocess(args, adapter)
+    assert len(summary) == 3
+    vol_dir = Path(summary[0]["output_dir"])
+    for name in ["volume.npz", "tensor.pt", "mask.npy", "indices.json",
+                 "metas.json", "stats.json"]:
+        assert (vol_dir / name).exists(), name
+    assert len(list((vol_dir / "preview").glob("*.png"))) == 2
+    with np.load(vol_dir / "volume.npz") as z:
+        assert z["img"].shape == (3, 1, 32, 32)   # keep band of 8 -> [2,5) wait
+        assert z["img"].dtype == np.float32
+        assert z["msk"].dtype == np.uint8
+    stats = json.loads((vol_dir / "stats.json").read_text())
+    # z-score QC: in-mask mean ~0, std ~1
+    assert abs(stats["mean_in_mask_mean"]) < 1e-3
+    assert abs(stats["mean_in_mask_std"] - 1.0) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# SliceStore / loader semantics
+# ---------------------------------------------------------------------------
+
+def _make_packs(tmp_path, rng, n_vols=3, s=5, h=24, w=24):
+    files = []
+    for v in range(n_vols):
+        img = rng.standard_normal((s, 1, h, w)).astype(np.float32)
+        msk = (rng.random((s, h, w)) > 0.5).astype(np.uint8)
+        d = tmp_path / f"vol{v}"
+        d.mkdir()
+        np.savez_compressed(d / "volume.npz", img=img, msk=msk)
+        files.append(str(d / "volume.npz"))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(files))
+    return lst, files
+
+
+def test_slice_store_neighbor_table_matches_reference_25d(tmp_path, rng):
+    lst, files = _make_packs(tmp_path, rng)
+    store = SliceStore.from_list(str(lst))
+    assert len(store) == 15
+    nbr = store.neighbor_table(3)
+    ds = KneeNPZ2DSlices(str(lst), k=3, aug="none")
+    # reference 2.5-D stacking must equal the gather through the table
+    for i in [0, 4, 5, 7, 14]:
+        x_ref, _ = ds[i]
+        x_store = store.images[nbr[i]]
+        np.testing.assert_array_equal(x_store, x_ref)
+
+
+def test_gather_batch_and_epoch_permutation(tmp_path, rng):
+    import jax
+    lst, _ = _make_packs(tmp_path, rng)
+    store = SliceStore.from_list(str(lst)).to_device(k=3)
+    perm = epoch_permutation(jax.random.PRNGKey(0), 15, 4, drop_last=True)
+    assert perm.shape == (3, 4)
+    assert len(np.unique(np.asarray(perm))) == 12
+    x, y = gather_batch(store.images, store.masks, store.neighbors, perm[0])
+    assert x.shape == (4, 24, 24, 3)
+    assert y.shape == (4, 24, 24)
+
+
+def test_knee_npz_dataset_formats(tmp_path, rng):
+    lst, _ = _make_packs(tmp_path, rng)
+    ds = KneeNPZ2DSlices(str(lst), k=1, aug="none")
+    x, y = ds[0]
+    assert x.shape == (1, 24, 24) and y.shape == (1, 24, 24)
+    assert y.dtype == np.float32
+    ds3 = KneeNPZ2DSlices(str(lst), k=1, imagenet_norm=True)
+    x, _ = ds3[0]
+    assert x.shape == (3, 24, 24)
+    with pytest.raises(AssertionError):
+        KneeNPZ2DSlices(str(lst), k=2)

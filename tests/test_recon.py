@@ -1,0 +1,227 @@
+"""Recon tests: GRAPPA vs a pure-NumPy oracle, T2 pipeline, regridding, DWI
+metrics. Oracle code transcribes the vendored fastmri_prostate algorithms."""
+import numpy as np
+import pytest
+from numpy.lib.stride_tricks import sliding_window_view
+
+from mri_acl_imagesegmentation_adsp_tpu.recon import (
+    Grappa, recon_singlecoil, recon_multicoil_rss, center_crop_im, flip_im,
+    t2_reconstruction, create_coil_combined_im, trapezoidal_regridding,
+    compute_averages, trace, compute_trace_adc_b1500,
+)
+from mri_acl_imagesegmentation_adsp_tpu.recon.dwi import get_grid_mat
+
+
+# ---------------------------------------------------------------------------
+# NumPy GRAPPA oracle (vendored grappa.py transcription)
+# ---------------------------------------------------------------------------
+
+def oracle_grappa(kspace, calib, kernel_size=(5, 5), lamda=0.01):
+    """kspace/calib: (X, Y, C), undersampled along axis 0. Returns filled."""
+    kx, ky = kernel_size
+    kx2, ky2 = kx // 2, ky // 2
+    nc = kspace.shape[-1]
+
+    kpad = np.pad(kspace, ((kx2, kx2), (ky2, ky2), (0, 0)), mode="constant")
+    mask = np.abs(kpad[..., 0]) > 0
+    P = sliding_window_view(mask, (kx, ky)).reshape(-1, kx, ky)
+    Psh = sliding_window_view(mask, (kx, ky)).shape[:2]
+    P, iidx = np.unique(P, return_inverse=True, axis=0)
+    validP = np.argwhere(~P[:, kx2, ky2]).squeeze()
+    invalidP = np.argwhere(np.all(P == 0, axis=(1, 2)))
+    validP = np.atleast_1d(np.setdiff1d(np.atleast_1d(validP), invalidP,
+                                        assume_unique=True))
+    P = np.tile(P[..., None], (1, 1, 1, nc))
+
+    cpad = np.pad(calib, ((kx2, kx2), (ky2, ky2), (0, 0)), mode="constant")
+    A = sliding_window_view(cpad, (kx, ky, nc)).reshape(-1, kx, ky, nc)
+
+    recon = np.zeros_like(kpad)
+    for ii in validP:
+        S = A[:, P[ii]]
+        T = A[:, kx2, ky2, :]
+        ShS = S.conj().T @ S
+        ShT = S.conj().T @ T
+        lamda0 = lamda * np.linalg.norm(ShS) / ShS.shape[0]
+        W = np.linalg.solve(ShS + lamda0 * np.eye(ShS.shape[0]), ShT).T
+        idx = np.unravel_index(np.argwhere(iidx == ii), Psh)
+        xs = np.atleast_1d((idx[0] + kx2).squeeze())
+        ys = np.atleast_1d((idx[1] + ky2).squeeze())
+        for xx, yy in zip(xs, ys):
+            S1 = kpad[xx - kx2:xx + kx2 + 1, yy - ky2:yy + ky2 + 1, :]
+            S1 = S1[P[ii]]
+            recon[xx, yy, :] = (W @ S1[:, None]).squeeze()
+    return (recon + kpad)[kx2:-kx2, ky2:-ky2, :]
+
+
+def _multicoil_phantom(rng, h=48, w=40, nc=4):
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    img = np.exp(-(((yy - h / 2) ** 2 / (h * 2)) + ((xx - w / 2) ** 2 / (w * 2))))
+    img = img * (1 + 0.1 * rng.standard_normal((h, w)))
+    coils = []
+    for c in range(nc):
+        phase = np.exp(1j * 2 * np.pi * (c * xx / w + c * yy / (2 * h)) / nc)
+        mag = np.exp(-((xx - (c + 0.5) * w / nc) ** 2) / (2 * (w / 2) ** 2))
+        coils.append(img * mag * phase)
+    coil_imgs = np.stack(coils, axis=-1)               # (H, W, C)
+    ksp = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(
+        coil_imgs, axes=(0, 1)), axes=(0, 1), norm="ortho"), axes=(0, 1))
+    return coil_imgs, ksp.astype(np.complex64)
+
+
+def test_grappa_matches_numpy_oracle(rng):
+    _, ksp = _multicoil_phantom(rng)
+    under = ksp.copy()
+    under[1::2, :, :] = 0                              # R=2 along axis 0
+    calib = ksp[16:32, :, :]                           # ACS block
+
+    mine = Grappa(under, kernel_size=(5, 5), coil_axis=-1)
+    w = mine.compute_weights(calib)
+    filled = mine.apply_weights(under, w)
+
+    expect = oracle_grappa(under, calib)
+    np.testing.assert_allclose(filled, expect, rtol=2e-3, atol=2e-4)
+
+
+def test_grappa_fills_holes_and_improves_recon(rng):
+    coil_imgs, ksp = _multicoil_phantom(rng)
+    under = ksp.copy()
+    under[1::2, :, :] = 0
+    calib = ksp[16:32, :, :]
+    g = Grappa(under, coil_axis=-1)
+    filled = g.apply_weights(under, g.compute_weights(calib))
+    assert np.abs(filled[1::2]).min() > 0, "holes must be filled"
+
+    def rss_img(k):
+        im = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(
+            k, axes=(0, 1)), axes=(0, 1), norm="ortho"), axes=(0, 1))
+        return np.sqrt((np.abs(im) ** 2).sum(-1))
+
+    ref = rss_img(ksp)
+    err_under = np.abs(rss_img(under) - ref).mean()
+    err_filled = np.abs(rss_img(filled) - ref).mean()
+    assert err_filled < 0.35 * err_under, (err_filled, err_under)
+
+
+def test_grappa_fully_sampled_noop(rng):
+    _, ksp = _multicoil_phantom(rng)
+    g = Grappa(ksp, coil_axis=-1)
+    assert len(g.kernel_var_dict["patch_indices"]) == 0
+    filled = g.apply_weights(ksp, {})
+    np.testing.assert_allclose(filled, ksp, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cartesian helpers
+# ---------------------------------------------------------------------------
+
+def test_recon_multicoil_rss_matches_numpy(rng):
+    coil_imgs, ksp = _multicoil_phantom(rng)
+    got = recon_multicoil_rss(np.moveaxis(ksp, -1, 0), coil_axis=0)
+    expect = np.sqrt((np.abs(coil_imgs) ** 2).sum(-1))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_center_crop_and_flip_match_vendored(rng):
+    vol = rng.standard_normal((3, 50, 46))
+    got = center_crop_im(vol, (32, 32))
+    x_crop = int(46 / 2 - 16)
+    y_crop = int(50 / 2 - 16)
+    np.testing.assert_array_equal(
+        got, vol[:, y_crop:y_crop + 32, x_crop:x_crop + 32])
+    f = flip_im(vol.copy(), 0)
+    np.testing.assert_array_equal(f[1], np.flipud(vol[1]))
+
+
+def test_create_coil_combined_im(rng):
+    _, ksp = _multicoil_phantom(rng)           # (H, W, C)
+    k = np.moveaxis(ksp, -1, 0)[None]          # (1, C, H, W) = (sl, coils, ro, pe)
+    out = create_coil_combined_im(k)
+    assert out.shape == (1, 48, 40)
+    expect = np.sqrt((np.abs(np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(
+        ksp, axes=(0, 1)), axes=(0, 1), norm="ortho"), axes=(0, 1))) ** 2
+    ).sum(-1))
+    np.testing.assert_allclose(out[0], np.flipud(expect), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# T2 pipeline (tiny end-to-end)
+# ---------------------------------------------------------------------------
+
+def test_t2_reconstruction_shapes_and_quality(rng):
+    h, w, nc = 48, 40, 4
+    _, ksp = _multicoil_phantom(rng, h, w, nc)
+    # layout (avg, slices, coils, ro, pe); undersample pe (last axis)
+    full = np.moveaxis(ksp, -1, 0)             # (C, H, W) = (coils, ro, pe)
+    under = full.copy()
+    under[:, :, 1::2] = 0
+    under[:, :, w // 2 - 6: w // 2 + 6] = full[:, :, w // 2 - 6: w // 2 + 6]
+    kspace_data = np.stack([under] * 3)[:, None]       # (3, 1, C, H, W)
+    calib = full[:, :, w // 2 - 8: w // 2 + 8][None]   # (1, C, H, 16)
+    out = t2_reconstruction(kspace_data, calib, hdr=None)
+    rec = out["reconstruction_rss"]
+    # ro=48 < 320 -> crop is a no-op passthrough of (1, 48, 48)
+    assert rec.shape[0] == 1
+    assert np.isfinite(rec).all()
+
+
+# ---------------------------------------------------------------------------
+# DWI pieces
+# ---------------------------------------------------------------------------
+
+EPI = {"rampUpTime": 100.0, "rampDownTime": 100.0, "flatTopTime": 400.0,
+       "acqDelayTime": 10.0, "echoSpacing": 1.0}
+
+
+def oracle_grid_mat(epi_params):
+    t_rampup, t_rampdown = epi_params["rampUpTime"], epi_params["rampDownTime"]
+    t_flattop, t_delay = epi_params["flatTopTime"], epi_params["acqDelayTime"]
+    adc_nos, t_adcdur = 200.0, 580.0
+    i_pts = adc_nos
+    tt = np.linspace(t_delay, t_delay + t_adcdur, int(adc_nos))
+    kk = np.zeros(int(adc_nos))
+    for zz in range(int(adc_nos)):
+        if tt[zz] < t_rampup:
+            kk[zz] = (0.5 / t_rampup) * tt[zz] ** 2
+        elif tt[zz] > (t_rampup + t_flattop):
+            kk[zz] = ((0.5 / t_rampup) * t_rampup ** 2 + (tt[zz] - t_rampup)
+                      - (0.5 / t_rampdown) * (tt[zz] - t_rampup - t_flattop) ** 2)
+        else:
+            kk[zz] = (0.5 / t_rampup) * t_rampup ** 2 + (tt[zz] - t_rampup)
+    kk = kk - kk[int(np.floor(adc_nos / 2)) - 1]
+    need_kk = np.linspace(kk[0], kk[-1], int(i_pts))
+    delta_k = need_kk[1] - need_kk[0]
+    density = np.append(np.diff(kk), np.diff(kk)[0])
+    gm = np.sinc((np.tile(need_kk, (int(adc_nos), 1)).T
+                  - np.tile(kk, (int(i_pts), 1))) / delta_k)
+    gm = np.tile(density, (int(i_pts), 1)) * gm
+    return gm / (1e-12 + np.tile(gm.sum(1), (int(adc_nos), 1)).T)
+
+
+def test_grid_mat_matches_oracle():
+    np.testing.assert_allclose(get_grid_mat(EPI), oracle_grid_mat(EPI),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_trapezoidal_regridding_applies_matrix(rng):
+    img = (rng.standard_normal((4, 200, 10))
+           + 1j * rng.standard_normal((4, 200, 10))).astype(np.complex64)
+    out = trapezoidal_regridding(img, EPI)
+    gm = oracle_grid_mat(EPI).astype(np.float32)
+    expect = np.einsum("rt,ctp->crp", gm, img)
+    np.testing.assert_allclose(out, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_compute_averages_and_trace(rng):
+    vol = np.abs(rng.standard_normal((50, 2, 8, 8))) + 0.5
+    avgs = compute_averages(vol)
+    np.testing.assert_allclose(avgs["b50x"], vol[2:21:6].sum(0) / 4)
+    np.testing.assert_allclose(
+        avgs["b1000x"], np.r_[vol[5:24:6], vol[26:48:3]].sum(0) / 12)
+    t50, t1000 = trace(avgs)
+    np.testing.assert_allclose(
+        t50, np.cbrt(avgs["b50x"] * avgs["b50y"] * avgs["b50z"]))
+    d = compute_trace_adc_b1500(dict(avgs))
+    for k in ["trace_b50", "trace_b1000", "adc_map", "b1500"]:
+        assert k in d and np.isfinite(d[k]).all(), k
+    assert (d["adc_map"] >= 0).all()
