@@ -10,6 +10,9 @@ from .dwi import (
     dwi_reconstruction, trapezoidal_regridding, compute_averages,
     trace, adc, b1500, compute_trace_adc_b1500,
 )
+from .varnet import (
+    VarNet, VarNetBlock, SensitivityModel, NormUnet, sens_reduce, sens_expand,
+)
 
 __all__ = [
     "recon_singlecoil", "recon_multicoil_rss", "ifftnd_scaled",
@@ -17,4 +20,6 @@ __all__ = [
     "t2_reconstruction", "create_coil_combined_im",
     "dwi_reconstruction", "trapezoidal_regridding", "compute_averages",
     "trace", "adc", "b1500", "compute_trace_adc_b1500",
+    "VarNet", "VarNetBlock", "SensitivityModel", "NormUnet",
+    "sens_reduce", "sens_expand",
 ]
