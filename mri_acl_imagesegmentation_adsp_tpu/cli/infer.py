@@ -1,0 +1,112 @@
+"""Segmentation inference CLI.
+
+Fills the reference's intended-but-absent inference entry point
+(src/infer/segment.py and src/cli.py are empty stubs; guide.txt:87 shows
+`python -m src.infer --ckpt ...` — SURVEY.md C24).
+
+Usage:
+  python -m mri_acl_imagesegmentation_adsp_tpu.cli.infer \
+      --ckpt runs/fastmri_unet/best.ckpt --list lists/val.txt \
+      --out-dir preds [--metrics] [--batch-size 16]
+
+Writes per-volume predicted masks (pred_mask.npy + probabilities) and, with
+--metrics, on-device Dice/IoU/HD95/ASSD per volume + a summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.hbm_loader import read_list
+from ..infer import segment_volume_2d, evaluate_volume
+from ..models import build_unet
+from ..train import checkpoint as ckpt_lib
+
+
+def load_model_from_ckpt(ckpt_path: str):
+    """Rebuild the model from the args bundled with the checkpoint."""
+    import jax
+    with open(ckpt_path + ".args.json", "r", encoding="utf-8") as f:
+        args = json.load(f)
+    in_ch = 3 if (args.get("k", 1) == 1 and args.get("imagenet_norm")) \
+        else args.get("k", 1)
+    model = build_unet(args.get("model", "unet"), args.get("encoder", "resnet34"),
+                       "none", in_ch=in_ch, classes=args.get("classes", 1),
+                       dtype=jnp.bfloat16 if args.get("amp") else jnp.float32)
+    # template init to obtain target structures, then restore
+    h = w = 64  # template spatial size; conv params are size-independent
+    sample = jnp.zeros((1, h, w, in_ch), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
+    params, batch_stats = ckpt_lib.load_best(
+        ckpt_path, variables["params"], variables.get("batch_stats", {}))
+    return model, params, batch_stats, args
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("Whole-volume segmentation inference")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--list", dest="list_txt", required=True,
+                   help="txt file of volume.npz paths")
+    p.add_argument("--out-dir", default="preds")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--metrics", action="store_true",
+                   help="compute dice/iou/hd95/assd vs the packed masks")
+    p.add_argument("--save-probs", action="store_true")
+    args = p.parse_args(argv)
+
+    model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
+    k = margs.get("k", 1)
+    classes = margs.get("classes", 1)
+
+    def apply_fn(x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    out_root = Path(args.out_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    summary = []
+    for path in read_list(args.list_txt):
+        with np.load(path) as z:
+            vol = z["img"].astype(np.float32)      # (S,1,H,W)
+            gt = z["msk"].astype(np.uint8)
+        probs = segment_volume_2d(apply_fn, vol, k=k,
+                                  batch_size=args.batch_size, classes=classes)
+        if classes == 1:
+            pred = (probs[:, 0] > args.threshold).astype(np.uint8)
+        else:
+            pred = np.argmax(probs, axis=1).astype(np.uint8)
+
+        vol_dir = out_root / Path(path).parent.name
+        vol_dir.mkdir(parents=True, exist_ok=True)
+        np.save(vol_dir / "pred_mask.npy", pred)
+        if args.save_probs:
+            np.savez_compressed(vol_dir / "probs.npz", probs=probs)
+
+        entry = {"volume": path, "num_slices": int(vol.shape[0]),
+                 "pred_path": str(vol_dir / "pred_mask.npy")}
+        if args.metrics and classes == 1:
+            entry.update(evaluate_volume(pred, gt))
+        summary.append(entry)
+        msg = f"[infer] {Path(path).parent.name}: {vol.shape[0]} slices"
+        if "dice" in entry:
+            msg += f" dice {entry['dice']:.4f} hd95 {entry['hd95']:.2f}"
+        print(msg)
+
+    with (out_root / "summary.json").open("w", encoding="utf-8") as f:
+        json.dump(summary, f, indent=2)
+    if args.metrics and summary and "dice" in summary[0]:
+        means = {k: float(np.mean([s[k] for s in summary]))
+                 for k in ("dice", "iou", "hd95", "assd")}
+        print("[infer] means:", json.dumps(means))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -107,6 +107,7 @@ def run_training(train_list: Path, val_list: Path, out_dir: Path,
         max_grad_norm=args.max_grad_norm, amp=args.amp, seed=args.seed,
         data_parallel=args.data_parallel, store_dtype=args.store_dtype,
         resume=args.resume, save_resume_every=args.save_resume_every,
+        profile_epochs=args.profile_epochs,
     )
     UNet2DTrainer(train_args).run()
 
@@ -173,6 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the newest snapshot in out-dir.")
     parser.add_argument("--save-resume-every", type=int, default=0)
+    parser.add_argument("--profile-epochs", type=int, default=0,
+                        help="Capture a jax.profiler trace for the first N "
+                             "epochs into <out-dir>/profile.")
     return parser
 
 

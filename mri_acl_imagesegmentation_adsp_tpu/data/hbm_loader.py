@@ -43,18 +43,33 @@ class SliceStore:
     files: List[str]
 
     @classmethod
-    def from_list(cls, list_txt: str) -> "SliceStore":
-        return cls.from_files(read_list(list_txt))
+    def from_list(cls, list_txt: str, workers: int = 0) -> "SliceStore":
+        return cls.from_files(read_list(list_txt), workers=workers)
+
+    @staticmethod
+    def _load_one(p: str):
+        """One volume: native C++ reader (GIL-released zlib inflate) with a
+        transparent np.load fallback."""
+        from ..native import load_volume_npz
+        loaded = load_volume_npz(p)
+        if loaded is not None:
+            x, y = loaded
+            return x.astype(np.float32, copy=False), y.astype(np.int32)
+        with np.load(p) as z:
+            return z["img"].astype(np.float32), z["msk"].astype(np.int32)
 
     @classmethod
-    def from_files(cls, files: Sequence[str]) -> "SliceStore":
+    def from_files(cls, files: Sequence[str], workers: int = 0) -> "SliceStore":
+        if workers and len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                loaded = list(ex.map(cls._load_one, files))
+        else:
+            loaded = [cls._load_one(p) for p in files]
         imgs, msks, starts, sizes = [], [], [], []
         n = 0
-        for p in files:
-            with np.load(p) as z:
-                x = z["img"].astype(np.float32)   # (S,1,H,W)
-                y = z["msk"].astype(np.int32)     # (S,H,W)
-            imgs.append(x[:, 0])
+        for x, y in loaded:
+            imgs.append(x[:, 0])                  # (S,1,H,W) -> (S,H,W)
             msks.append(y)
             starts.append(n)
             sizes.append(x.shape[0])

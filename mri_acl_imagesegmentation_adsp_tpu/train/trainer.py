@@ -83,6 +83,7 @@ class UNet2DArgs:
     store_dtype: str = "float32"             # float32|bfloat16 slice store
     resume: bool = False                     # resume from newest snapshot
     save_resume_every: int = 0               # epochs between resume snapshots
+    profile_epochs: int = 0                  # jax.profiler trace first N epochs
 
 
 class UNet2DTrainer:
@@ -262,8 +263,13 @@ class UNet2DTrainer:
             self.state = self.state._replace(
                 opt_state=set_lr(self.state.opt_state, lr_now))
 
+            profiling = ep - self.start_epoch < a.profile_epochs
+            if profiling:
+                jax.profiler.start_trace(str(self.out_dir / "profile"))
             self.state, step_losses, train_loss = self.engine.train_one_epoch(
                 self.state, self.train_store, perm, aug_key, n_train)
+            if profiling:
+                jax.profiler.stop_trace()
             if isinstance(self.logger, CSVLoggerAdapter):
                 self.logger.log_steps(start_step=self.global_step, epoch=ep,
                                       lr=lr_now, losses=step_losses)

@@ -1,0 +1,146 @@
+"""Classification suite tests (ConvNeXt, datasets, AUC, trainer smoke)."""
+import os
+
+import numpy as np
+import pytest
+
+from mri_acl_imagesegmentation_adsp_tpu.classify import (
+    center_crop_2d, normalisation_2d, norm_adc, norm_b1500,
+    augment_image_t2, augment_image_diffusion, T2SliceDataset,
+    DWISliceDataset, weighted_bce_loss, ClassifierArgs, ClassifierTrainer,
+    roc_auc,
+)
+from mri_acl_imagesegmentation_adsp_tpu.models.convnext import (
+    ConvNeXt, ConvNext_model,
+)
+
+
+def test_convnext_shapes_and_factory():
+    import jax, jax.numpy as jnp
+    m = ConvNeXt(variant="tiny", in_chans=1)
+    x = jnp.zeros((2, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 1)
+
+    m2 = ConvNext_model({"model_args": {"model": "tiny"}}, diff=True)
+    assert m2.in_chans == 2
+    with pytest.raises(ValueError):
+        ConvNext_model({"model_args": {"model": "resnet"}})
+
+
+def test_normalisations_match_vendored(rng):
+    img = np.abs(rng.standard_normal((64, 64))).astype(np.float64) * 100
+    n1 = normalisation_2d(img.copy(), 1)
+    assert n1.max() <= 1.0 + 1e-9
+    n2 = normalisation_2d(img, 2)
+    assert abs(n2.mean()) < 1e-9
+    n3 = normalisation_2d(img, 3)
+    assert n3.min() == 0 and n3.max() == 1
+    n4 = normalisation_2d(img, 4)
+    assert n4.min() >= 0 and n4.max() <= 1
+
+    adc = np.abs(rng.standard_normal((32, 32))) * 4000
+    na = norm_adc(adc)
+    assert na.max() <= 1.0
+    nb = norm_b1500(adc)
+    assert abs(nb.mean()) < 1e-9
+
+    crop = center_crop_2d(img, (32, 32))
+    assert crop.shape == (32, 32)
+
+
+def test_augmentations_preserve_shape(rng):
+    np.random.seed(0)
+    img = rng.standard_normal((64, 64))
+    out, ops = augment_image_t2(img.copy())
+    assert out.shape == (64, 64)
+    b, a, ops = augment_image_diffusion(img.copy(), img.copy())
+    assert b.shape == a.shape == (64, 64)
+
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn import metrics
+    y = (rng.random(200) > 0.7).astype(int)
+    s = rng.random(200) * 0.5 + y * 0.3  # informative scores with ties
+    s = np.round(s, 2)
+    assert abs(roc_auc(y, s) - metrics.roc_auc_score(y, s)) < 1e-12
+
+
+def test_weighted_bce_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    logits = rng.standard_normal(16).astype(np.float32)
+    targets = (rng.random(16) > 0.6).astype(np.float32)
+    weights = (0.4, 0.6)
+    w = np.where(targets > 0.5, weights[1], weights[0]).astype(np.float32)
+    expect = float(F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        weight=torch.from_numpy(w)))
+    got = float(weighted_bce_loss(jnp.asarray(logits), jnp.asarray(targets),
+                                  weights))
+    assert abs(got - expect) < 1e-6
+
+
+@pytest.fixture
+def classification_data(tmp_path, rng):
+    """Datasheet + h5 files for T2 and DWI classification."""
+    import h5py
+    import pandas as pd
+    rows = []
+    (tmp_path / "data").mkdir()
+    for i in range(6):
+        fname = f"case{i}.h5"
+        with h5py.File(tmp_path / "data" / fname, "w") as hf:
+            hf.create_dataset("reconstruction_rss",
+                              data=np.abs(rng.standard_normal((4, 256, 256))
+                                          ).astype(np.float32))
+            hf.create_dataset("b1500",
+                              data=np.abs(rng.standard_normal((4, 100, 100))
+                                          ).astype(np.float32))
+            hf.create_dataset("adc_map",
+                              data=np.abs(rng.standard_normal((4, 100, 100))
+                                          ).astype(np.float32) * 2000)
+        rows.append({"fastmri_pt_id": i, "fastmri_rawfile": fname,
+                     "folder": ".", "PIRADS": 4 if i % 2 else 1, "slice": 2,
+                     "data_split": "training" if i < 4 else "validation"})
+    sheet = tmp_path / "sheet.csv"
+    pd.DataFrame(rows).to_csv(sheet, index=False)
+    return str(sheet), str(tmp_path / "data")
+
+
+def test_t2_dataset_contract(classification_data):
+    sheet, root = classification_data
+    ds = T2SliceDataset(sheet, root, norm_type=1, augment=False,
+                        istrain=True, isval=False, istest=False)
+    assert len(ds) == 4
+    x, y = ds[0]
+    assert x.shape == (1, 224, 224)
+    assert y in (0.0, 1.0)
+    assert abs(ds.weights[0] + ds.weights[1] - 1.0) < 1e-9
+
+
+def test_dwi_dataset_contract(classification_data):
+    sheet, root = classification_data
+    ds = DWISliceDataset(sheet, root, augment=False, istrain=False,
+                         isval=True, istest=False)
+    assert len(ds) == 2
+    x, y = ds[0]
+    assert x.shape == (2, 224, 224)
+
+
+def test_classifier_trainer_smoke(classification_data, tmp_path):
+    sheet, root = classification_data
+    train = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                           istrain=True, isval=False, istest=False)
+    val = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                         istrain=False, isval=True, istest=False)
+    args = ClassifierArgs(out_dir=str(tmp_path / "clf"), model="tiny",
+                          epochs=2, batch_size=2, amp=False)
+    t = ClassifierTrainer(args, train, val)
+    result = t.fit()
+    assert len(result["history"]) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in result["history"])
+    assert os.path.exists(result["best_ckpt"])
+    assert os.path.exists(tmp_path / "clf" / "history.json")

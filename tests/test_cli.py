@@ -1,0 +1,95 @@
+"""CLI tests: infer CLI end-to-end, args.json replay compatibility, smoke."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from oracles import synthetic_kspace_volume, write_fake_fastmri_h5
+
+
+def test_reference_args_json_replays():
+    """The committed reference run config must construct UNet2DArgs
+    unchanged (SURVEY.md §5.6 replay contract)."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import UNet2DArgs
+    ref = Path("/root/reference/runs/fastmri_unet/args.json")
+    if not ref.exists():
+        pytest.skip("reference artifacts not mounted")
+    args = UNet2DArgs(**json.loads(ref.read_text()))
+    assert args.batch_size == 8
+    assert args.loss == "dice_bce"
+    assert args.encoder == "resnet34"
+    assert args.seed == 2024
+    assert args.amp is True
+    assert args.aug == "light"
+
+
+def test_launcher_help_runs():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m",
+         "mri_acl_imagesegmentation_adsp_tpu.cli.launcher", "--help"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0
+    for flag in ["--skip-preprocess", "--slice-keep", "--encoder",
+                 "--data-parallel", "--resume"]:
+        assert flag in out.stdout
+
+
+def test_infer_cli_end_to_end(tmp_path, rng):
+    """Train a tiny model via the trainer, then run the infer CLI on it."""
+    from types import SimpleNamespace
+    from mri_acl_imagesegmentation_adsp_tpu.data.adapters import (
+        FastMRISinglecoilAdapter)
+    from mri_acl_imagesegmentation_adsp_tpu.data.packer import build_preprocess
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
+        UNet2DArgs, UNet2DTrainer)
+    from mri_acl_imagesegmentation_adsp_tpu.cli.infer import main as infer_main
+
+    root = tmp_path / "raw"
+    root.mkdir()
+    for i in range(2):
+        ksp, _ = synthetic_kspace_volume(rng, s=6, h=64, w=48)
+        write_fake_fastmri_h5(str(root / f"v{i}.h5"), ksp)
+    art = tmp_path / "art"
+    build_preprocess(SimpleNamespace(
+        root_dir=str(root), out_dir=str(art), height=48, width=48,
+        slice_keep="0.0,1.0", clip="1.0,99.5", use_n4=False,
+        use_denoise=False, preview_max=1),
+        FastMRISinglecoilAdapter(root_dir=str(root)))
+    packs = sorted(str(p) for p in art.rglob("volume.npz"))
+    lst = tmp_path / "all.txt"
+    lst.write_text("\n".join(packs))
+
+    args = UNet2DArgs(train_list=str(lst), val_list=str(lst),
+                      out_dir=str(tmp_path / "run"), encoder="resnet18",
+                      epochs=2, batch_size=4, amp=False, logger="noop")
+    UNet2DTrainer(args).run()
+
+    out_dir = tmp_path / "preds"
+    rc = infer_main(["--ckpt", str(tmp_path / "run" / "best.ckpt"),
+                     "--list", str(lst), "--out-dir", str(out_dir),
+                     "--metrics"])
+    assert rc == 0
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert len(summary) == 2
+    assert all("dice" in s for s in summary)
+    # trained 2 epochs on the easy body-mask task -> meaningful dice
+    assert np.mean([s["dice"] for s in summary]) > 0.5
+    pred = np.load(summary[0]["pred_path"])
+    assert pred.shape == (6, 48, 48)
+    assert pred.dtype == np.uint8
+
+
+def test_smoke_script(tmp_path, rng):
+    from mri_acl_imagesegmentation_adsp_tpu.utils.smoke import run_smoke
+    root = tmp_path / "raw"
+    root.mkdir()
+    ksp, _ = synthetic_kspace_volume(rng, s=4, h=64, w=48)
+    write_fake_fastmri_h5(str(root / "v.h5"), ksp)
+    out = run_smoke(str(root))
+    assert np.isfinite(out["loss"])
+    assert out["img_shape"] == (320, 320)
