@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (
-    ifft2c_magnitude, percentile_clip, body_mask, resize_bilinear,
-    zscore_in_mask, preview_01,
+    ifft2c_magnitude, ifft2c_pair, rss_complex, percentile_clip, body_mask,
+    resize_bilinear, zscore_in_mask, preview_01,
 )
 from ..ops.restoration import n4_bias_correction, nl_means_denoise
 
@@ -75,8 +75,16 @@ class MRIKneePreprocessor:
 
     @partial(jax.jit, static_argnames=("self", "from_kspace"))
     def _slice_chain(self, x: jnp.ndarray, from_kspace: bool):
-        """(H,W) image or (H,W,2) k-space pair -> (img_z, img_01, mask)."""
-        img = ifft2c_magnitude(x) if from_kspace else x.astype(jnp.float32)
+        """(H,W) image, (H,W,2) single-coil pair, or (C,H,W,2) multi-coil
+        pair -> (img_z, img_01, mask). Multi-coil recon = per-coil centered
+        iFFT + RSS (BASELINE configs[1]), fused into the same jit."""
+        if from_kspace:
+            if x.ndim == 4:                       # (C, H, W, 2) multi-coil
+                img = rss_complex(ifft2c_pair(x), axis=0).astype(jnp.float32)
+            else:
+                img = ifft2c_magnitude(x)
+        else:
+            img = x.astype(jnp.float32)
         img = percentile_clip(img, *self.clip_percentiles)
         mk = body_mask(img)
         if self.use_n4:
@@ -221,13 +229,18 @@ class MRIKneePreprocessor:
 
     @staticmethod
     def _ensure_2d(x: np.ndarray, name: str) -> np.ndarray:
-        if np.ndim(x) != 2 and not (np.ndim(x) == 3 and x.shape[-1] == 2):
-            raise ValueError(f"{name} must have shape (H,W), got {np.shape(x)}")
+        nd = np.ndim(x)
+        complex_ok = np.iscomplexobj(x) and nd in (2, 3)      # (H,W)|(C,H,W)
+        pair_ok = (not np.iscomplexobj(x)) and nd in (3, 4) \
+            and np.shape(x)[-1] == 2                          # pairs
+        if not (complex_ok or pair_ok):
+            raise ValueError(f"{name} must have shape (H,W) or (C,H,W), "
+                             f"got {np.shape(x)}")
         return x
 
     @staticmethod
     def _pairify(ksp: np.ndarray) -> np.ndarray:
-        """complex (H,W) or (H,W,2) pair -> (H,W,2) float32 pair."""
+        """complex (…,H,W) or (…,H,W,2) pair -> (…,H,W,2) float32 pair."""
         ksp = np.asarray(ksp)
         if np.iscomplexobj(ksp):
             return np.stack([ksp.real, ksp.imag], axis=-1).astype(np.float32)
