@@ -15,6 +15,7 @@ backends without complex/FFT support.
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -23,18 +24,23 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_SLICES_PER_SEC = 70.0  # BASELINE.md derived train-only rate
 BATCH = 32
 SHAPE = (320, 320)
-WARMUP_ITERS = 2
-ITERS = 20
+WARMUP_ITERS = 4
+ITERS = 64
 
 
 def main() -> None:
+    from mri_acl_imagesegmentation_adsp_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
 
     model = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
                        dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, *SHAPE, 1)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    # jitted init: one cached program instead of hundreds of eager dispatches
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), x[:1])
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     @jax.jit

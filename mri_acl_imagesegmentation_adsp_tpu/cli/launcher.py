@@ -181,6 +181,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
 

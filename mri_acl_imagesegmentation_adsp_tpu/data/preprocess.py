@@ -99,9 +99,25 @@ class MRIKneePreprocessor:
         return img_z, img_01, mk_r
 
     @partial(jax.jit, static_argnames=("self", "from_kspace"))
-    def _volume_chain(self, x: jnp.ndarray, from_kspace: bool):
-        """vmapped slice chain over the leading slice axis."""
+    def _volume_chain_vmapped(self, x: jnp.ndarray, from_kspace: bool):
+        """vmapped slice chain over the leading slice axis (one device call
+        per volume). NOTE: compiling the batched connected-components
+        while_loop is very expensive on some backends (the axon remote
+        compiler spends tens of minutes on it), so the default volume path
+        loops the once-compiled slice chain instead — same math, one compile
+        per (H, W) shape, ~100 us dispatch per slice."""
         return jax.vmap(lambda s: self._slice_chain(s, from_kspace))(x)
+
+    def _volume_chain(self, x: jnp.ndarray, from_kspace: bool,
+                      batch_slices: bool = False):
+        if batch_slices:
+            return self._volume_chain_vmapped(x, from_kspace)
+        outs = [self._slice_chain(x[s], from_kspace)
+                for s in range(x.shape[0])]
+        img_z = jnp.stack([o[0] for o in outs])
+        img_01 = jnp.stack([o[1] for o in outs])
+        mk = jnp.stack([o[2] for o in outs])
+        return img_z, img_01, mk
 
     # hashable for jit static self
     def __hash__(self):

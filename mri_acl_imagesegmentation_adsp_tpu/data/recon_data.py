@@ -162,3 +162,37 @@ class SliceDataset:
             return kspace, target, espirit, attrs, fname.name, slice_ind
         return self.transform(kspace, target, espirit, attrs, fname.name,
                               slice_ind)
+
+
+class FastMriDataModule:
+    """Train/val/test dataset bundle for recon training.
+
+    Parity target: vendored DL_reconstruction/pl_modules/data_module.py —
+    FastMriDataModule(data_path, bvalue, transforms, batch_size,
+    distributed_sampler). Instead of torch DataLoaders, exposes the slice
+    datasets plus volume-affine shard index lists (the VolumeSampler
+    contract: all slices of a volume on one shard, padded to equal length —
+    parallel/mesh.volume_affine_shards).
+    """
+
+    def __init__(self, data_path, bvalue: str, train_transform=None,
+                 val_transform=None, test_transform=None, test_path=None,
+                 batch_size: int = 1, num_workers: int = 0,
+                 distributed_sampler: bool = False):
+        root = Path(data_path)
+        self.batch_size = batch_size
+        self.distributed_sampler = distributed_sampler
+        self.train = SliceDataset(root / "train", bvalue, train_transform)
+        self.val = SliceDataset(root / "val", bvalue, val_transform)
+        test_root = Path(test_path) if test_path else root / "test"
+        self.test = (SliceDataset(test_root, bvalue, test_transform)
+                     if test_root.is_dir() else None)
+
+    def val_shards(self, n_shards: int):
+        """Volume-affine validation shard index lists."""
+        from ..parallel import volume_affine_shards
+        from collections import Counter
+        counts = Counter(str(f) for f, _, _ in self.val.examples)
+        sizes = [counts[str(f)] for f in dict.fromkeys(
+            str(f) for f, _, _ in self.val.examples)]
+        return volume_affine_shards(sizes, n_shards)

@@ -1,0 +1,59 @@
+"""3-D patch trainer tests."""
+import os
+
+import numpy as np
+import pytest
+
+from mri_acl_imagesegmentation_adsp_tpu.train.trainer3d import (
+    KneeNPZ3D, UNet3DArgs, UNet3DTrainer,
+)
+
+
+@pytest.fixture
+def packs3d(tmp_path, rng):
+    files = []
+    for v in range(2):
+        img = rng.standard_normal((12, 1, 24, 24)).astype(np.float32)
+        msk = np.zeros((12, 24, 24), np.uint8)
+        msk[4:8, 8:16, 8:16] = 1  # compact positive region
+        d = tmp_path / f"v{v}"
+        d.mkdir()
+        np.savez_compressed(d / "volume.npz", img=img, msk=msk)
+        files.append(str(d / "volume.npz"))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(files))
+    return str(lst)
+
+
+def test_knee_npz3d_sampling_semantics(packs3d):
+    ds = KneeNPZ3D(packs3d, roi=(16, 16, 8), pos_neg_ratio=1.0,
+                   samples_per_vol=5, train=True, seed=0)
+    assert len(ds) == 10
+    px, py = ds[0]
+    assert px.shape == (8, 16, 16)  # (D, Y, X)
+    assert py.shape == (8, 16, 16)
+    # volume z-score applied at load
+    x, y = ds._load(0)
+    assert abs(float(x.mean())) < 1e-4
+
+    # positive-centred sampling must hit foreground often
+    hits = sum(int(ds[i][1].max() > 0) for i in range(10))
+    assert hits >= 4
+
+    val = KneeNPZ3D(packs3d, roi=(16, 16, 8), train=False, seed=0)
+    assert len(val) == 4  # 2 per volume
+
+
+def test_unet3d_trainer_smoke(packs3d, tmp_path):
+    args = UNet3DArgs(train_list=packs3d, val_list=packs3d,
+                      out_dir=str(tmp_path / "run3d"), roi=(16, 16, 8),
+                      channels=(4, 8, 16), classes=1, batch_size=2,
+                      epochs=2, amp=False, samples_per_vol_train=4,
+                      samples_per_vol_val=1)
+    t = UNet3DTrainer(args)
+    result = t.fit()
+    assert np.isfinite(result["best_val_loss"])
+    assert os.path.exists(result["best_ckpt"])
+    log = open(os.path.join(args.out_dir, "train_log.csv")).read().splitlines()
+    assert log[0] == "epoch,train_loss,val_loss,lr"
+    assert len(log) == 3
