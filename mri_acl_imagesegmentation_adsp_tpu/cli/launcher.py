@@ -107,7 +107,7 @@ def run_training(train_list: Path, val_list: Path, out_dir: Path,
         max_grad_norm=args.max_grad_norm, amp=args.amp, seed=args.seed,
         data_parallel=args.data_parallel, store_dtype=args.store_dtype,
         resume=args.resume, save_resume_every=args.save_resume_every,
-        profile_epochs=args.profile_epochs,
+        profile_epochs=args.profile_epochs, store_sharded=args.store_sharded,
     )
     UNet2DTrainer(train_args).run()
 
@@ -153,7 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--encoder", default="resnet34")
     parser.add_argument("--encoder-weights", default="none")
     parser.add_argument("--aug", default="light",
-                        choices=["none", "light", "medium"])
+                        choices=["none", "light", "medium", "heavy"])
     parser.add_argument("--imagenet-norm", action="store_true")
     parser.add_argument("--k", type=int, default=1)
     parser.add_argument("--classes", type=int, default=1)
@@ -174,6 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the newest snapshot in out-dir.")
     parser.add_argument("--save-resume-every", type=int, default=0)
+    parser.add_argument("--store-sharded", action="store_true",
+                        help="Shard the HBM slice store over the mesh data "
+                             "axis instead of replicating it.")
     parser.add_argument("--profile-epochs", type=int, default=0,
                         help="Capture a jax.profiler trace for the first N "
                              "epochs into <out-dir>/profile.")

@@ -115,15 +115,42 @@ class SliceStore:
     # ------------------------------------------------------------------
 
     def to_device(self, k: int = 1, image_dtype=jnp.float32,
-                  device: Optional[jax.Device] = None) -> "DeviceSliceStore":
-        """Move the store (+ neighbor table for this k) into device HBM."""
-        put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+                  device: Optional[jax.Device] = None,
+                  mesh=None, shard: bool = False) -> "DeviceSliceStore":
+        """Move the store (+ neighbor table for this k) into device HBM.
+
+        With ``mesh`` and ``shard=True`` the slice arrays are sharded over
+        the mesh's "data" axis (row-sharded HBM store: each chip holds
+        1/N of the dataset; in-scan gathers ride ICI). The store is padded
+        with repeats of the last slice to a multiple of the axis size —
+        padding rows are inert because permutations only index
+        [0, num_slices). Otherwise arrays are replicated/placed singly.
+        """
+        n = len(self)
+        images = self.images
+        masks = self.masks
+        nbr = self.neighbor_table(k)
+        if mesh is not None and shard:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            parts = mesh.shape[axis]
+            pad = (-n) % parts
+            if pad:
+                images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+                masks = np.concatenate([masks, masks[-1:].repeat(pad, 0)])
+                nbr = np.concatenate([nbr, nbr[-1:].repeat(pad, 0)])
+            row = NamedSharding(mesh, P(axis))
+            put = lambda x: jax.device_put(x, row)
+        elif device:
+            put = lambda x: jax.device_put(x, device)
+        else:
+            put = jax.device_put
         return DeviceSliceStore(
-            images=put(jnp.asarray(self.images, dtype=image_dtype)),
-            masks=put(jnp.asarray(self.masks, dtype=jnp.int32)),
-            neighbors=put(jnp.asarray(self.neighbor_table(k))),
+            images=put(jnp.asarray(images, dtype=image_dtype)),
+            masks=put(jnp.asarray(masks, dtype=jnp.int32)),
+            neighbors=put(jnp.asarray(nbr)),
             k=k,
-            num_slices=len(self),
+            num_slices=n,
         )
 
 

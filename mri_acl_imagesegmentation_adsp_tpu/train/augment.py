@@ -30,14 +30,25 @@ class AugParams(NamedTuple):
     shift_x: jnp.ndarray  # (B,) fraction of W
     scale: jnp.ndarray    # (B,) multiplicative
     angle: jnp.ndarray    # (B,) radians
+    apply_elastic: jnp.ndarray  # (B,) bool
+    elastic_seed: jnp.ndarray   # (B,) uint32 per-sample field seed
 
 
 _RECIPES = {
     "light": dict(hflip_p=0.5, vflip_p=0.0, ssr_p=0.5,
-                  shift=0.03, scale=0.05, rot_deg=10.0),
+                  shift=0.03, scale=0.05, rot_deg=10.0, elastic_p=0.0),
     "medium": dict(hflip_p=0.5, vflip_p=0.1, ssr_p=0.7,
-                   shift=0.05, scale=0.10, rot_deg=15.0),
+                   shift=0.05, scale=0.10, rot_deg=15.0, elastic_p=0.0),
+    # "heavy" extends medium with elastic deformation (BASELINE configs[3]:
+    # on-device flip/rotate/elastic augmentation)
+    "heavy": dict(hflip_p=0.5, vflip_p=0.1, ssr_p=0.7,
+                  shift=0.05, scale=0.10, rot_deg=15.0, elastic_p=0.5),
 }
+
+# elastic field parameters (albumentations ElasticTransform-style:
+# gaussian-smoothed random displacements)
+_ELASTIC_ALPHA = 20.0   # displacement magnitude (px)
+_ELASTIC_SIGMA = 6.0    # smoothing sigma (px)
 
 
 def sample_params(key: jax.Array, batch: int, recipe: str) -> AugParams:
@@ -45,9 +56,10 @@ def sample_params(key: jax.Array, batch: int, recipe: str) -> AugParams:
     if recipe == "none":
         z = jnp.zeros((batch,))
         f = jnp.zeros((batch,), bool)
-        return AugParams(f, f, f, z, z, jnp.ones((batch,)), z)
+        zi = jnp.zeros((batch,), jnp.uint32)
+        return AugParams(f, f, f, z, z, jnp.ones((batch,)), z, f, zi)
     cfg = _RECIPES[recipe]
-    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(key, 9)
     u = lambda k, lo, hi: jax.random.uniform(k, (batch,), minval=lo, maxval=hi)
     return AugParams(
         hflip=jax.random.uniform(k1, (batch,)) < cfg["hflip_p"],
@@ -57,11 +69,30 @@ def sample_params(key: jax.Array, batch: int, recipe: str) -> AugParams:
         shift_x=u(k5, -cfg["shift"], cfg["shift"]),
         scale=1.0 + u(k6, -cfg["scale"], cfg["scale"]),
         angle=jnp.deg2rad(u(k7, -cfg["rot_deg"], cfg["rot_deg"])),
+        apply_elastic=jax.random.uniform(k8, (batch,)) < cfg["elastic_p"],
+        elastic_seed=jax.random.randint(
+            k9, (batch,), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32),
     )
 
 
-def _warp_one(img: jnp.ndarray, mask: jnp.ndarray, p, h: int, w: int):
-    """Affine-warp one (H,W,C) image + (H,W) mask by inverse mapping."""
+def _elastic_field(seed: jnp.ndarray, h: int, w: int):
+    """Gaussian-smoothed random displacement field (dy, dx) in pixels."""
+    from ..ops.restoration import gaussian_blur
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    ky, kx = jax.random.split(key)
+    dy = gaussian_blur(jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0),
+                       _ELASTIC_SIGMA)
+    dx = gaussian_blur(jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0),
+                       _ELASTIC_SIGMA)
+    # normalize smoothed noise to unit-ish scale then apply alpha
+    norm = lambda d: d / (jnp.std(d) + 1e-6) * (_ELASTIC_ALPHA / 3.0)
+    return norm(dy), norm(dx)
+
+
+def _warp_one(img: jnp.ndarray, mask: jnp.ndarray, p, h: int, w: int,
+              elastic: bool = False):
+    """Affine(-and-elastic)-warp one (H,W,C) image + (H,W) mask by inverse
+    mapping."""
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -77,6 +108,11 @@ def _warp_one(img: jnp.ndarray, mask: jnp.ndarray, p, h: int, w: int):
     identity_x = jnp.broadcast_to(xx, (h, w))
     sy = jnp.where(p.apply_ssr, jnp.broadcast_to(sy, (h, w)), identity_y)
     sx = jnp.where(p.apply_ssr, jnp.broadcast_to(sx, (h, w)), identity_x)
+
+    if elastic:
+        ey, ex = _elastic_field(p.elastic_seed, h, w)
+        sy = jnp.where(p.apply_elastic, sy + ey, sy)
+        sx = jnp.where(p.apply_elastic, sx + ex, sx)
 
     valid = (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
@@ -113,8 +149,11 @@ def augment_batch(x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
     x = jnp.where(params.vflip[:, None, None, None], x[:, ::-1, :, :], x)
     y = jnp.where(params.vflip[:, None, None], y[:, ::-1, :], y)
 
+    elastic = _RECIPES.get(recipe, {}).get("elastic_p", 0.0) > 0
+
     def one(img, msk, *leaf_params):
-        return _warp_one(img, msk, AugParams(*leaf_params), h, w)
+        return _warp_one(img, msk, AugParams(*leaf_params), h, w,
+                         elastic=elastic)
 
     x, y = jax.vmap(one)(x, y, *params)
     return x, y

@@ -54,7 +54,7 @@ class UNet2DArgs:
     val_list: str = ""
     out_dir: str = "runs/unet2d"
     k: int = 1
-    aug: str = "light"                       # none|light|medium
+    aug: str = "light"                       # none|light|medium|heavy (+elastic)
     model: str = "unet"                      # unet|unetpp
     encoder: str = "resnet34"
     encoder_weights: str = "none"
@@ -84,6 +84,7 @@ class UNet2DArgs:
     resume: bool = False                     # resume from newest snapshot
     save_resume_every: int = 0               # epochs between resume snapshots
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
+    store_sharded: bool = False              # shard slice store over the mesh
 
 
 class UNet2DTrainer:
@@ -134,8 +135,10 @@ class UNet2DTrainer:
         dt = jnp.bfloat16 if a.store_dtype == "bfloat16" else jnp.float32
         self.train_src = SliceStore.from_list(a.train_list)
         self.val_src = SliceStore.from_list(a.val_list)
-        self.train_store = self.train_src.to_device(k=a.k, image_dtype=dt)
-        self.val_store = self.val_src.to_device(k=a.k, image_dtype=dt)
+        self.train_store = self.train_src.to_device(
+            k=a.k, image_dtype=dt, mesh=self.mesh, shard=a.store_sharded)
+        self.val_store = self.val_src.to_device(
+            k=a.k, image_dtype=dt, mesh=self.mesh, shard=a.store_sharded)
         self.h = self.train_src.images.shape[1]
         self.w = self.train_src.images.shape[2]
 

@@ -1,0 +1,78 @@
+"""Tests for restoration ops (N4-style bias correction, NL-means) and
+the heavy (elastic) augmentation recipe."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mri_acl_imagesegmentation_adsp_tpu.ops.restoration import (
+    gaussian_blur, n4_bias_correction, nl_means_denoise, estimate_sigma,
+)
+from mri_acl_imagesegmentation_adsp_tpu.train.augment import augment_batch
+
+
+def test_gaussian_blur_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter
+    img = rng.standard_normal((48, 48)).astype(np.float32)
+    got = np.asarray(gaussian_blur(jnp.asarray(img), 2.0))
+    expect = gaussian_filter(img, 2.0, mode="reflect", truncate=3.0 + 0.25)
+    # kernel radius/truncation differ slightly; interior must agree closely
+    np.testing.assert_allclose(got[8:-8, 8:-8], expect[8:-8, 8:-8],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_estimate_sigma_tracks_noise_level(rng):
+    clean = np.zeros((128, 128), np.float32)
+    for true_sigma in [0.05, 0.2]:
+        noisy = clean + rng.normal(0, true_sigma, clean.shape).astype(np.float32)
+        est = float(estimate_sigma(jnp.asarray(noisy)))
+        assert 0.6 * true_sigma < est < 1.4 * true_sigma, (true_sigma, est)
+
+
+def test_nl_means_reduces_noise_preserves_structure(rng):
+    yy, xx = np.mgrid[:64, :64].astype(np.float32)
+    clean = (np.hypot(yy - 32, xx - 32) < 18).astype(np.float32)
+    noisy = clean + rng.normal(0, 0.1, clean.shape).astype(np.float32)
+    den = np.asarray(nl_means_denoise(jnp.asarray(noisy)))
+    mse_noisy = np.mean((noisy - clean) ** 2)
+    mse_den = np.mean((den - clean) ** 2)
+    assert mse_den < 0.5 * mse_noisy, (mse_den, mse_noisy)
+
+
+def test_nl_means_identity_on_constant():
+    img = np.full((32, 32), 2.5, np.float32)
+    out = np.asarray(nl_means_denoise(jnp.asarray(img), sigma=0.0))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_n4_removes_multiplicative_bias(rng):
+    yy, xx = np.mgrid[:96, :96].astype(np.float32)
+    clean = 1.0 + 0.5 * ((np.hypot(yy - 48, xx - 48) < 30).astype(np.float32))
+    bias = np.exp(0.7 * (xx / 96.0 - 0.5))        # smooth multiplicative field
+    corrupted = clean * bias
+    corrected = np.asarray(n4_bias_correction(jnp.asarray(corrupted)))
+
+    def lr_imbalance(img):
+        """left/right mean ratio — 1.0 when the field is gone."""
+        return float(img[:, :32].mean() / img[:, -32:].mean())
+
+    before = abs(lr_imbalance(corrupted) - lr_imbalance(clean))
+    after = abs(lr_imbalance(corrected) - lr_imbalance(clean))
+    assert after < 0.5 * before, (before, after)
+    # intensity range preserved (reference rescale semantics)
+    assert abs(float(corrected.max()) - float(corrupted.max())) < 1e-3
+
+
+def test_heavy_recipe_elastic_deforms(rng):
+    x = jnp.asarray(rng.standard_normal((16, 48, 48, 1)).astype(np.float32))
+    y = jnp.asarray((rng.random((16, 48, 48)) > 0.5).astype(np.int32))
+    x2, y2 = augment_batch(x, y, jax.random.PRNGKey(5), "heavy")
+    assert x2.shape == x.shape and y2.shape == y.shape
+    assert set(np.unique(np.asarray(y2))).issubset({0, 1})
+    # with elastic_p=.5 over 16 samples, some outputs must differ from any
+    # pure flip/affine of the input in a way flips alone can't produce:
+    # deterministic given the key
+    x3, _ = augment_batch(x, y, jax.random.PRNGKey(5), "heavy")
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x3))
+    changed = sum(int(not np.allclose(np.asarray(x2[i]), np.asarray(x[i])))
+                  for i in range(16))
+    assert changed >= 8
