@@ -249,6 +249,24 @@ class UNet2DTrainer:
                             gts=np.concatenate(gt_list, 0))
 
     # ------------------------------------------------------------------
+    # Evaluation (reference Engine.test, engine.py:273-299)
+    # ------------------------------------------------------------------
+
+    def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        """Evaluate on the val store, optionally loading a checkpoint first
+        (accepts this framework's best bundles; the reference accepted both
+        raw state_dicts and {"model_state": ...} wraps — here the bundle
+        format is canonical)."""
+        if ckpt_path:
+            params, batch_stats = ckpt_lib.load_best(
+                ckpt_path, self.state.params, self.state.batch_stats)
+            self.state = self.state._replace(params=params,
+                                             batch_stats=batch_stats)
+        _, dice, iou = self.engine.validate(
+            self.state, self.val_store, max(1, self.args.batch_size // 2))
+        return {"dice": float(dice), "iou": float(iou)}
+
+    # ------------------------------------------------------------------
     # Main loop
     # ------------------------------------------------------------------
 

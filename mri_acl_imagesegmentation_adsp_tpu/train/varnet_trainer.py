@@ -214,7 +214,36 @@ class VarNetTrainer:
         ckpt_lib.save_best(self.best_path, self.params, {},
                            asdict(self.args))
 
-    def fit(self) -> Dict[str, Any]:
+    def _save_resume(self, epoch: int) -> None:
+        d = os.path.join(self.args.out_dir, "checkpoints",
+                         f"resume_{epoch:06d}")
+        ckpt_lib.save_train_state(
+            d, {"params": self.params, "opt_state": self.opt_state},
+            {"epoch": epoch, "best_val": self.best_val})
+
+    def try_resume(self) -> bool:
+        """Auto-resume from the newest snapshot in out_dir (vendored
+        train_varnet_prostate.py:155-170 semantics). Requires params to be
+        initialized (call after the first _init_if_needed)."""
+        d = ckpt_lib.latest_resume_dir(self.args.out_dir)
+        if d is None or self.params is None:
+            return False
+        state, host = ckpt_lib.load_train_state(
+            d, {"params": self.params, "opt_state": self.opt_state})
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = host["epoch"]
+        self.best_val = host["best_val"]
+        print(f"[varnet] resumed {d} at epoch {self.epoch}")
+        return True
+
+    def fit(self, resume: bool = False, save_resume_every: int = 0
+            ) -> Dict[str, Any]:
+        if resume and self.train_ds:
+            s0 = self.train_ds[0]
+            self._init_if_needed(jnp.asarray(s0.kspace)[None],
+                                 jnp.asarray(s0.espirit)[None])
+            self.try_resume()
         history = []
         for ep in range(self.epoch + 1, self.args.epochs + 1):
             self.epoch = ep
@@ -229,4 +258,6 @@ class VarNetTrainer:
             if vl < self.best_val:
                 self.best_val = vl
                 self._save_best()
+            if save_resume_every and ep % save_resume_every == 0:
+                self._save_resume(ep)
         return {"best_ckpt": self.best_path, "history": history}
