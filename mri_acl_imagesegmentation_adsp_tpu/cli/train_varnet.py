@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-amp", dest="amp", action="store_false")
     p.set_defaults(amp=True)
+    p.add_argument("--resume", action="store_true",
+                   help="Auto-resume from the newest snapshot in out-dir "
+                        "(vendored train_varnet_prostate.py behavior).")
+    p.add_argument("--save-resume-every", type=int, default=1,
+                   help="Epochs between resume snapshots (0 disables).")
     args = p.parse_args(argv)
 
     transform = VarNetDataTransform(mask_func=None)
@@ -55,7 +60,8 @@ def main(argv=None) -> int:
         amp=args.amp)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds)
     if args.mode == "train":
-        trainer.fit()
+        trainer.fit(resume=args.resume,
+                    save_resume_every=args.save_resume_every)
     else:
         metrics = trainer.validate()
         print(metrics)

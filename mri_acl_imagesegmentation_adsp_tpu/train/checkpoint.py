@@ -42,12 +42,34 @@ def load_best(path: str, target_params, target_batch_stats) -> Tuple[Any, Any]:
 
 
 def save_train_state(dirpath: str, state, host_state: Dict[str, Any]) -> None:
-    """Full resumable snapshot: device pytree + host JSON."""
-    os.makedirs(dirpath, exist_ok=True)
-    with open(os.path.join(dirpath, "state.msgpack"), "wb") as f:
+    """Full resumable snapshot: device pytree + host JSON.
+
+    Atomic: written into a sibling tmp dir then renamed, so a crash
+    mid-snapshot never leaves a half-written resume dir for
+    latest_resume_dir to pick up.
+    """
+    tmp = dirpath + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
-    with open(os.path.join(dirpath, "host.json"), "w", encoding="utf-8") as f:
+    with open(os.path.join(tmp, "host.json"), "w", encoding="utf-8") as f:
         json.dump(host_state, f, indent=2)
+    if os.path.isdir(dirpath):
+        import shutil
+        shutil.rmtree(dirpath)
+    os.replace(tmp, dirpath)
+
+
+def save_resume(out_dir: str, epoch: int, state,
+                host_state: Dict[str, Any]) -> str:
+    """Owns the checkpoints/resume_%06d naming convention (paired with
+    latest_resume_dir); used by every trainer."""
+    d = os.path.join(out_dir, "checkpoints", f"resume_{epoch:06d}")
+    save_train_state(d, state, host_state)
+    return d
 
 
 def load_train_state(dirpath: str, target_state) -> Tuple[Any, Dict[str, Any]]:
@@ -59,12 +81,21 @@ def load_train_state(dirpath: str, target_state) -> Tuple[Any, Dict[str, Any]]:
 
 
 def latest_resume_dir(out_dir: str) -> Optional[str]:
-    """Newest resume snapshot under out_dir/checkpoints (vendored-style
-    auto-resume, zip!train_varnet_prostate.py:160-164)."""
+    """Newest COMPLETE resume snapshot under out_dir/checkpoints
+    (vendored-style auto-resume, zip!train_varnet_prostate.py:160-164).
+    Incomplete dirs (missing members, or *.tmp from a crashed save) are
+    skipped so a mid-snapshot crash falls back to the previous one."""
     root = os.path.join(out_dir, "checkpoints")
     if not os.path.isdir(root):
         return None
-    cands = [d for d in os.listdir(root) if d.startswith("resume_")]
+    cands = []
+    for d in os.listdir(root):
+        if not d.startswith("resume_") or d.endswith(".tmp"):
+            continue
+        full = os.path.join(root, d)
+        if (os.path.isfile(os.path.join(full, "state.msgpack"))
+                and os.path.isfile(os.path.join(full, "host.json"))):
+            cands.append(d)
     if not cands:
         return None
     cands.sort(key=lambda d: int(d.split("_")[1]))

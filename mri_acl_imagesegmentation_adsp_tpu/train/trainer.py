@@ -191,9 +191,9 @@ class UNet2DTrainer:
         }
 
     def _save_resume(self, epoch: int) -> None:
-        d = self.out_dir / "checkpoints" / f"resume_{epoch:06d}"
         self.start_epoch = epoch + 1
-        ckpt_lib.save_train_state(str(d), self.state, self._host_state())
+        ckpt_lib.save_resume(str(self.out_dir), epoch, self.state,
+                             self._host_state())
 
     def _try_resume(self) -> None:
         d = ckpt_lib.latest_resume_dir(str(self.out_dir))
@@ -252,18 +252,29 @@ class UNet2DTrainer:
     # Evaluation (reference Engine.test, engine.py:273-299)
     # ------------------------------------------------------------------
 
-    def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
-        """Evaluate on the val store, optionally loading a checkpoint first
-        (accepts this framework's best bundles; the reference accepted both
-        raw state_dicts and {"model_state": ...} wraps — here the bundle
-        format is canonical)."""
+    def test(self, ckpt_path: Optional[str] = None,
+             list_txt: Optional[str] = None) -> Dict[str, float]:
+        """Evaluate dice/iou, optionally loading a checkpoint first.
+
+        ``list_txt`` selects the evaluation split (a held-out test list,
+        matching the reference Engine.test(loader, ckpt) which took any
+        loader); default is the val store. Bundles from save_best are the
+        canonical checkpoint format."""
         if ckpt_path:
             params, batch_stats = ckpt_lib.load_best(
                 ckpt_path, self.state.params, self.state.batch_stats)
             self.state = self.state._replace(params=params,
                                              batch_stats=batch_stats)
+        if list_txt:
+            a = self.args
+            dt = jnp.bfloat16 if a.store_dtype == "bfloat16" else jnp.float32
+            store = SliceStore.from_list(list_txt).to_device(
+                k=a.k, image_dtype=dt, mesh=self.mesh,
+                shard=a.store_sharded)
+        else:
+            store = self.val_store
         _, dice, iou = self.engine.validate(
-            self.state, self.val_store, max(1, self.args.batch_size // 2))
+            self.state, store, max(1, self.args.batch_size // 2))
         return {"dice": float(dice), "iou": float(iou)}
 
     # ------------------------------------------------------------------

@@ -215,10 +215,9 @@ class VarNetTrainer:
                            asdict(self.args))
 
     def _save_resume(self, epoch: int) -> None:
-        d = os.path.join(self.args.out_dir, "checkpoints",
-                         f"resume_{epoch:06d}")
-        ckpt_lib.save_train_state(
-            d, {"params": self.params, "opt_state": self.opt_state},
+        ckpt_lib.save_resume(
+            self.args.out_dir, epoch,
+            {"params": self.params, "opt_state": self.opt_state},
             {"epoch": epoch, "best_val": self.best_val})
 
     def try_resume(self) -> bool:
@@ -239,11 +238,18 @@ class VarNetTrainer:
 
     def fit(self, resume: bool = False, save_resume_every: int = 0
             ) -> Dict[str, Any]:
-        if resume and self.train_ds:
-            s0 = self.train_ds[0]
+        if resume:
+            seed_ds = (self.train_ds if self.train_ds else self.val_ds)
+            if not seed_ds:
+                raise ValueError(
+                    "resume=True but both datasets are empty — refusing to "
+                    "run (a fresh random model would overwrite best ckpts)")
+            s0 = seed_ds[0]
             self._init_if_needed(jnp.asarray(s0.kspace)[None],
                                  jnp.asarray(s0.espirit)[None])
-            self.try_resume()
+            if not self.try_resume():
+                print("[varnet] resume requested but no snapshot found in "
+                      f"{self.args.out_dir}; starting fresh")
         history = []
         for ep in range(self.epoch + 1, self.args.epochs + 1):
             self.epoch = ep

@@ -32,11 +32,18 @@ def test_25d_training_and_test_api(packs, tmp_path):
     result = t.run()
     assert np.isfinite(result["history"][-1]["val_dice"])
 
-    # Engine.test parity: evaluate from the saved best bundle
+    # Engine.test parity: reloading best.ckpt and re-validating the same
+    # store is deterministic -> dice must match best val_dice exactly
+    # (loose tolerances here would mask load_best/state-restore regressions)
     metrics = t.test(str(tmp_path / "run25d" / "best.ckpt"))
     assert abs(metrics["dice"]
-               - result["summary"]["best"]["val_dice"]) < 2e-2
+               - result["summary"]["best"]["val_dice"]) < 1e-6
     assert 0 <= metrics["iou"] <= 1
+
+    # evaluating an explicit list (held-out split surface) works too
+    metrics2 = t.test(str(tmp_path / "run25d" / "best.ckpt"),
+                      list_txt=packs)
+    assert abs(metrics2["dice"] - metrics["dice"]) < 1e-6
 
 
 def test_varnet_resume(tmp_path, rng):
@@ -70,3 +77,17 @@ def test_varnet_resume(tmp_path, rng):
     r = t2.fit(resume=True, save_resume_every=1)
     assert t2.epoch == 2
     assert [h["epoch"] for h in r["history"]] == [2]
+
+    # a half-written snapshot must be skipped in favor of the intact one
+    import shutil
+    good = Path(tmp_path) / "checkpoints" / "resume_000002"
+    bad = Path(tmp_path) / "checkpoints" / "resume_000003"
+    bad.mkdir()
+    (bad / "state.msgpack").write_bytes(b"")  # no host.json -> incomplete
+    from mri_acl_imagesegmentation_adsp_tpu.train import checkpoint as ck
+    assert ck.latest_resume_dir(str(tmp_path)) == str(good)
+
+    # empty datasets + resume=True must refuse rather than clobber ckpts
+    t3 = VarNetTrainer(args2, [], [])
+    with pytest.raises(ValueError):
+        t3.fit(resume=True)
