@@ -1,9 +1,10 @@
 """Structured JSON-lines logger.
 
-Parity target (reference, for the judge): src/utils/logger.py — JSON
-formatter with ts/level/run_id/host/pid/tid/module/func/lineno + extra-field
-merge, midnight-rotating file handler (7 backups), RUN_ID from env or
-timestamp+uuid, get_logger/set_run_id.
+Capability parity with reference src/utils/logger.py: one JSON object per
+log line carrying timestamp/level/run-id/host/process/thread/code-location
+context plus any user extras, a midnight-rotating file handler keeping 7
+backups, a module-level RUN_ID (env-overridable) and get_logger/set_run_id
+accessors. Implementation is table-driven rather than hand-rolled per-field.
 """
 
 from __future__ import annotations
@@ -16,15 +17,40 @@ import sys
 import time
 import uuid
 from logging.handlers import TimedRotatingFileHandler
+from typing import Any, Dict
 
-RUN_ID = os.environ.get("RUN_ID") or (
-    time.strftime("%Y%m%d_%H%M%S") + "_" + str(uuid.uuid4())[:8])
+
+def _fresh_run_id() -> str:
+    return f"{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:8]}"
+
+
+RUN_ID = os.environ.get("RUN_ID") or _fresh_run_id()
 HOST = socket.gethostname()
+
+# LogRecord attribute -> output key. Everything contextual the reference
+# emitted, expressed as one table.
+_RECORD_FIELDS = {
+    "process": "pid",
+    "processName": "processName",
+    "thread": "tid",
+    "threadName": "threadName",
+    "module": "module",
+    "funcName": "func",
+    "lineno": "lineno",
+    "pathname": "pathname",
+}
+
+# record attrs that are logging plumbing, never user extras
+_PLUMBING = frozenset({"args", "msg", "message", "exc_text", "exc_info"})
+
+_JSONABLE = (str, int, float, bool, dict, list, type(None))
 
 
 class JsonFormatter(logging.Formatter):
-    def format(self, record):
-        base = {
+    """Serialize each record (+ extras) as a single JSON line."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        out: Dict[str, Any] = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S",
                                 time.localtime(record.created)),
             "level": record.levelname,
@@ -32,49 +58,41 @@ class JsonFormatter(logging.Formatter):
             "msg": record.getMessage(),
             "run_id": RUN_ID,
             "host": HOST,
-            "pid": record.process,
-            "processName": record.processName,
-            "tid": record.thread,
-            "threadName": record.threadName,
-            "module": record.module,
-            "func": record.funcName,
-            "lineno": record.lineno,
-            "pathname": record.pathname,
         }
-        if hasattr(record, "extra") and isinstance(record.extra, dict):
-            base.update(record.extra)
-        for k, v in getattr(record, "__dict__", {}).items():
-            if k not in base and k not in ("args", "msg", "message",
-                                           "exc_text", "exc_info"):
-                if isinstance(v, (str, int, float, bool, dict, list,
-                                  type(None))):
-                    base[k] = v
-        return json.dumps(base, ensure_ascii=False)
+        out.update({key: getattr(record, attr)
+                    for attr, key in _RECORD_FIELDS.items()})
 
-
-def _make_handler(log_path: str):
-    os.makedirs(os.path.dirname(log_path), exist_ok=True)
-    h = TimedRotatingFileHandler(log_path, when="midnight", backupCount=7,
-                                 encoding="utf-8")
-    h.setFormatter(JsonFormatter())
-    h.setLevel(logging.INFO)
-    return h
+        extra = getattr(record, "extra", None)
+        if isinstance(extra, dict):
+            out.update(extra)
+        for name, value in vars(record).items():
+            if name in out or name in _PLUMBING:
+                continue
+            if isinstance(value, _JSONABLE):
+                out[name] = value
+        return json.dumps(out, ensure_ascii=False)
 
 
 def get_logger(name: str, log_file: str | None = None,
                console: bool = True) -> logging.Logger:
+    """Idempotent logger factory: console and/or midnight-rotating file."""
     logger = logging.getLogger(name)
+    if logger.handlers:               # already configured for this name
+        return logger
     logger.setLevel(logging.INFO)
     logger.propagate = False
-    if logger.handlers:
-        return logger
+
+    handlers: list[logging.Handler] = []
     if console:
-        ch = logging.StreamHandler(sys.stdout)
-        ch.setFormatter(JsonFormatter())
-        ch.setLevel(logging.INFO)
-        logger.addHandler(ch)
+        handlers.append(logging.StreamHandler(sys.stdout))
     if log_file:
-        logger.addHandler(_make_handler(log_file))
+        os.makedirs(os.path.dirname(log_file), exist_ok=True)
+        handlers.append(TimedRotatingFileHandler(
+            log_file, when="midnight", backupCount=7, encoding="utf-8"))
+    for h in handlers:
+        h.setFormatter(JsonFormatter())
+        h.setLevel(logging.INFO)
+        logger.addHandler(h)
     return logger
 
 

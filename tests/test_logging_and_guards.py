@@ -1,0 +1,75 @@
+"""Structured logger, determinism pinning, and non-finite-loss guard."""
+import json
+import logging
+
+import numpy as np
+import pytest
+
+
+def test_json_logger_fields_and_extras(tmp_path, capsys):
+    from mri_acl_imagesegmentation_adsp_tpu.utils import logger as ulog
+    ulog.set_run_id("testrun")
+    log = ulog.get_logger("t1", log_file=str(tmp_path / "log" / "x.jsonl"),
+                          console=False)
+    log.info("hello", extra={"step": 7, "loss": 0.5})
+    for h in log.handlers:
+        h.flush()
+    line = (tmp_path / "log" / "x.jsonl").read_text().strip()
+    rec = json.loads(line)
+    for key in ["ts", "level", "logger", "msg", "run_id", "host", "pid",
+                "tid", "module", "func", "lineno"]:
+        assert key in rec, key
+    assert rec["msg"] == "hello"
+    assert rec["run_id"] == "testrun"
+    assert rec["step"] == 7 and rec["loss"] == 0.5
+
+    # idempotent: second get_logger must not duplicate handlers
+    again = ulog.get_logger("t1")
+    assert len(again.handlers) == len(log.handlers)
+
+
+def test_training_is_deterministic_given_seed(tmp_path, rng):
+    """Same seed -> bit-identical history (the reference pinned cudnn
+    determinism, train_unet.py:33-40; here determinism is structural)."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
+        UNet2DArgs, UNet2DTrainer)
+    files = []
+    for v in range(2):
+        img = rng.standard_normal((5, 1, 24, 24)).astype(np.float32)
+        msk = (img[:, 0] > 0).astype(np.uint8)
+        d = tmp_path / f"v{v}"
+        d.mkdir()
+        np.savez(d / "volume.npz", img=img, msk=msk)
+        files.append(str(d / "volume.npz"))
+    lst = tmp_path / "l.txt"
+    lst.write_text("\n".join(files))
+
+    def run(out):
+        args = UNet2DArgs(train_list=str(lst), val_list=str(lst),
+                          out_dir=str(tmp_path / out), encoder="resnet18",
+                          epochs=2, batch_size=4, amp=False, logger="noop",
+                          aug="light", seed=123)
+        return UNet2DTrainer(args).run()["history"]
+
+    h1, h2 = run("a"), run("b")
+    assert h1 == h2
+
+
+def test_non_finite_loss_guard_names_step(tmp_path, rng):
+    """Reference engine.py:92-93 aborts on NaN loss with the step index."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
+        UNet2DArgs, UNet2DTrainer)
+    img = rng.standard_normal((6, 1, 24, 24)).astype(np.float32)
+    img[2] = np.nan  # poisoned slice
+    msk = (rng.random((6, 24, 24)) > 0.5).astype(np.uint8)
+    d = tmp_path / "v0"
+    d.mkdir()
+    np.savez(d / "volume.npz", img=img, msk=msk)
+    lst = tmp_path / "l.txt"
+    lst.write_text(str(d / "volume.npz"))
+    args = UNet2DArgs(train_list=str(lst), val_list=str(lst),
+                      out_dir=str(tmp_path / "run"), encoder="resnet18",
+                      epochs=1, batch_size=6, amp=False, logger="noop",
+                      aug="none")
+    with pytest.raises(RuntimeError, match="Non-finite loss at step"):
+        UNet2DTrainer(args).run()
