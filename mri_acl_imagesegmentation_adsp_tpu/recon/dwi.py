@@ -208,12 +208,12 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
             regridded = trapezoidal_regridding(kspace[avg, s], hdr)
             filled = grappa_obj.apply_weights(
                 np.transpose(regridded, (2, 0, 1)), grappa_weight_dict[s])
-            # centered iFFT over (ro, pe); coils ride along as a batch axis
-            # (vendored ifftnd over axes [0, -1] of (ro, coils, pe) — same
-            # transform, coil-batched layout here)
-            pair = jnp.asarray(to_pair(np.moveaxis(filled, 1, 0)))  # (C,ro,pe,2)
-            img_post_grappa[avg, s] = to_complex(
-                ifftnd_scaled(pair, [-2, -1]))                      # (C, ro, pe)
+            # filled is (pe, coils, ro); centered iFFT runs over the (pe, ro)
+            # plane with coils as a batch axis (the vendored ifftnd over axes
+            # [0, -1] of the same layout), then reorder to (coils, ro, pe)
+            pair = jnp.asarray(to_pair(np.moveaxis(filled, 1, 0)))  # (C,pe,ro,2)
+            img = to_complex(ifftnd_scaled(pair, [-2, -1]))         # (C, pe, ro)
+            img_post_grappa[avg, s] = np.transpose(img, (0, 2, 1))  # (C, ro, pe)
 
     img_vol = np.zeros((kspace.shape[0], kspace.shape[1], kspace.shape[3],
                         kspace.shape[4]), dtype=complex)

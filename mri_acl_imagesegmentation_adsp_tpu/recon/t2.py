@@ -99,8 +99,10 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
 
     if hdr is None:
         padding = 0.0
-    elif isinstance(hdr, str):
-        padding = get_padding(hdr)
+    elif isinstance(hdr, (str, bytes)):
+        # h5py hands ISMRMRD headers back as bytes
+        hdr_str = hdr.decode() if isinstance(hdr, bytes) else hdr
+        padding = get_padding(hdr_str)
     else:
         padding = float(hdr)
 

@@ -1,0 +1,82 @@
+"""Recon CLI end-to-end on synthetic T2 / DWI h5 cases."""
+import numpy as np
+import pytest
+
+ISMRMRD_HDR = """<?xml version="1.0"?>
+<ismrmrdHeader xmlns="http://www.ismrm.org/ISMRMRD">
+  <encoding>
+    <encodedSpace><matrixSize><x>48</x><y>40</y><z>1</z></matrixSize></encodedSpace>
+    <reconSpace><matrixSize><x>48</x><y>48</y><z>1</z></matrixSize></reconSpace>
+    <encodingLimits><kspace_encoding_step_1>
+      <minimum>0</minimum><maximum>39</maximum><center>20</center>
+    </kspace_encoding_step_1></encodingLimits>
+    <trajectoryDescription>
+      <userParameterLong><name>rampUpTime</name><value>100</value></userParameterLong>
+      <userParameterLong><name>rampDownTime</name><value>100</value></userParameterLong>
+      <userParameterLong><name>flatTopTime</name><value>400</value></userParameterLong>
+      <userParameterLong><name>acqDelayTime</name><value>10</value></userParameterLong>
+      <userParameterLong><name>echoSpacing</name><value>1</value></userParameterLong>
+    </trajectoryDescription>
+  </encoding>
+</ismrmrdHeader>"""
+
+
+def _complex(rng, shape):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+def test_recon_cli_t2_case(tmp_path, rng):
+    import h5py
+    from mri_acl_imagesegmentation_adsp_tpu.cli.recon import main
+    case_dir = tmp_path / "training" / "T2"
+    case_dir.mkdir(parents=True)
+    # (avg=3, slices=1, coils=2, ro=48, pe=40), fully sampled (GRAPPA no-op)
+    ksp = _complex(rng, (3, 1, 2, 48, 40))
+    calib = _complex(rng, (1, 2, 48, 16))
+    with h5py.File(case_dir / "case.h5", "w") as hf:
+        hf.create_dataset("kspace", data=ksp)
+        hf.create_dataset("calibration_data", data=calib)
+        hf.create_dataset("ismrmrd_header", data=ISMRMRD_HDR.encode())
+        hf.create_dataset("reconstruction_rss",
+                          data=np.zeros((1, 48, 48), np.float32))
+        hf.attrs["max"] = 1.0
+        hf.attrs["norm"] = 1.0
+        hf.attrs["patient_id"] = "p0"
+        hf.attrs["acquisition"] = "T2"
+    out = tmp_path / "recons"
+    rc = main(["--data-path", str(tmp_path), "--output-path", str(out),
+               "--sequence", "t2", "--split", "training"])
+    assert rc == 0
+    with h5py.File(out / "case.h5", "r") as hf:
+        rec = hf["reconstruction_rss"][()]
+    # pe padded 40 -> 48 (header padding (48-40)/2=4), square output
+    assert rec.shape == (1, 48, 48)
+    assert np.isfinite(rec).all() and rec.max() > 0
+
+
+def test_recon_cli_dwi_case(tmp_path, rng):
+    import h5py
+    from mri_acl_imagesegmentation_adsp_tpu.cli.recon import main
+    case_dir = tmp_path / "training" / "DIFFUSION"
+    case_dir.mkdir(parents=True)
+    n_avg, n_sl, n_coil, ro, pe = 51, 1, 2, 200, 104
+    ksp = _complex(rng, (n_avg, n_sl, n_coil, ro, pe)) * 0.1
+    calib = _complex(rng, (n_sl, n_coil, ro, pe)) * 0.1
+    sens = _complex(rng, (n_sl, n_coil, ro, pe))
+    with h5py.File(case_dir / "dcase.h5", "w") as hf:
+        hf.create_dataset("kspace", data=ksp)
+        hf.create_dataset("calibration_data", data=calib)
+        hf.create_dataset("coil_sens_maps", data=sens)
+        hf.create_dataset("ismrmrd_header", data=ISMRMRD_HDR.encode())
+    out = tmp_path / "recons"
+    rc = main(["--data-path", str(tmp_path), "--output-path", str(out),
+               "--sequence", "dwi", "--split", "training"])
+    assert rc == 0
+    with h5py.File(out / "dcase.h5", "r") as hf:
+        keys = set(hf.keys())
+        b1500 = hf["b1500"][()]
+    assert {"b50x", "b1000x", "trace_b50", "trace_b1000", "adc_map",
+            "b1500"} <= keys
+    assert b1500.shape == (1, 100, 100)
+    assert np.isfinite(b1500).all()
