@@ -27,6 +27,7 @@ from typing import Dict, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from numpy.lib.stride_tricks import sliding_window_view
 
 from ..ops.cpair import to_pair, to_complex, csolve
@@ -35,53 +36,81 @@ _f32 = np.float32
 
 
 @jax.jit
-def _normal_eqs(s_pair: jnp.ndarray, t_pair: jnp.ndarray):
-    """ShS = S^H S, ShT = S^H T for pair matrices S (N, ns, 2), T (N, nc, 2)."""
-    sr, si = s_pair[..., 0], s_pair[..., 1]
-    tr, ti = t_pair[..., 0], t_pair[..., 1]
-    hi = jax.lax.Precision.HIGHEST
-    mm = lambda a, b: jnp.matmul(a.T, b, precision=hi)
-    shs = jnp.stack([mm(sr, sr) + mm(si, si), mm(sr, si) - mm(si, sr)],
-                    axis=-1)
-    sht = jnp.stack([mm(sr, tr) + mm(si, ti), mm(sr, ti) - mm(si, tr)],
-                    axis=-1)
-    return shs, sht
-
-
-@jax.jit
-def _solve_weights(shs: jnp.ndarray, sht: jnp.ndarray, lamda: float = 0.01):
-    """W = (ShS + lamda0 I)^-1 ShT, lamda0 = lamda*||ShS||_F/n; returns W^T
-    as (nc, ns, 2)."""
-    n = shs.shape[0]
-    fro = jnp.sqrt(jnp.sum(shs ** 2))
-    lamda0 = lamda * fro / n
-    eye = jnp.eye(n, dtype=shs.dtype)
-    a = shs.at[..., 0].add(lamda0 * eye)
-    w = csolve(a, sht)                      # (ns, nc, 2)
-    return jnp.transpose(w, (1, 0, 2))      # (nc, ns, 2)
-
-
-@jax.jit
-def _apply_geometry(kpad_pair: jnp.ndarray, coords: jnp.ndarray,
-                    w_pair: jnp.ndarray):
-    """Fill all holes of one geometry.
-
-    kpad_pair: (Hp, Wp, nc, 2) padded k-space.
-    coords: (M, ncells, 2) absolute (x, y) source coordinates per hole.
-    w_pair: (nc, ns, 2) weights with ns = ncells * nc.
-    Returns (M, nc, 2) filled values.
-    """
-    m, ncells, _ = coords.shape
-    nc = kpad_pair.shape[2]
-    src = kpad_pair[coords[..., 0], coords[..., 1]]     # (M, ncells, nc, 2)
-    s = src.reshape(m, ncells * nc, 2)
-    # out[m, c] = sum_s W[c, s] * S[m, s]  (complex)
-    sr, si = s[..., 0], s[..., 1]
+def _gram(w_pair: jnp.ndarray) -> jnp.ndarray:
+    """G = W^H W for a pair matrix W (N, K, 2) -> (K, K, 2)."""
     wr, wi = w_pair[..., 0], w_pair[..., 1]
     hi = jax.lax.Precision.HIGHEST
-    mm = lambda a, b: jnp.matmul(a, b.T, precision=hi)
-    return jnp.stack([mm(sr, wr) - mm(si, wi),
-                      mm(sr, wi) + mm(si, wr)], axis=-1)
+    mm = lambda a, b: jnp.matmul(a.T, b, precision=hi)
+    return jnp.stack([mm(wr, wr) + mm(wi, wi), mm(wr, wi) - mm(wi, wr)],
+                     axis=-1)
+
+
+@jax.jit
+def _solve_weights_batched(shs_pair: jnp.ndarray, sht_pair: jnp.ndarray,
+                           lamda0: jnp.ndarray) -> jnp.ndarray:
+    """W = (ShS + lamda0 I)^-1 ShT per system; shapes (G, ns, ns, 2),
+    (G, ns, nc, 2), (G,). Returns W^T as (G, nc, ns, 2). Padded (identity)
+    rows pick up 1 + lamda0 on the diagonal and a zero RHS, so their
+    solutions are exactly zero."""
+    n = shs_pair.shape[1]
+    eye = jnp.eye(n, dtype=shs_pair.dtype)
+    a = shs_pair.at[..., 0].add(lamda0[:, None, None] * eye)
+    w = jax.vmap(csolve)(a, sht_pair)       # (G, ns, nc, 2)
+    return jnp.transpose(w, (0, 2, 1, 3))   # (G, nc, ns, 2)
+
+
+@jax.jit
+def _apply_kernels_conv(kpad_pair: jnp.ndarray, kernels: jnp.ndarray,
+                        geom_map: jnp.ndarray):
+    """Fill every hole of every geometry with one batched convolution.
+
+    GRAPPA weight application IS a (kx, ky) convolution over the coil
+    channels: recon[x, y, c] = sum_{cell, u} W[c, cell, u] *
+    kpad[x+ox, y+oy, u]. Complex multiply folds into a real conv over 2*nc
+    channels with the block kernel [[Wr, Wi], [-Wi, Wr]]. Per-hole gathers
+    (index-bound, slow on TPU) become pure MXU work; each pixel then selects
+    its geometry's output via geom_map (H*W one-hot compare).
+
+    kpad_pair: (Xp, Yp, nc, 2) zero-padded k-space.
+    kernels: (G, kx, ky, 2nc, 2nc) per-geometry block kernels.
+    geom_map: (X, Y) int32, geometry index per position (-1 = not a hole).
+    Returns (X, Y, nc, 2) hole values (zeros where geom_map < 0).
+    """
+    xp, yp, nc, _ = kpad_pair.shape
+    g_count = kernels.shape[0]
+    # channels-last real image with re/im interleaved as 2nc channels
+    x = jnp.concatenate([kpad_pair[..., 0], kpad_pair[..., 1]], axis=-1)
+    x = x[None]                                        # (1, Xp, Yp, 2nc)
+
+    def conv_one(k):
+        out = lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        return out[0]                                  # (X, Y, 2nc)
+
+    outs = jax.vmap(conv_one)(kernels)                 # (G, X, Y, 2nc)
+    sel = jax.nn.one_hot(geom_map, g_count, axis=0,
+                         dtype=outs.dtype)             # (G, X, Y)
+    mixed = jnp.einsum("gxyc,gxy->xyc", outs, sel)
+    re, im = mixed[..., :nc], mixed[..., nc:]
+    return jnp.stack([re, im], axis=-1)
+
+
+def _block_kernel(weights_c: np.ndarray, cells: np.ndarray, kx: int, ky: int,
+                  nc: int) -> np.ndarray:
+    """(nc, ncells*nc) complex weights -> (kx, ky, 2nc, 2nc) real block
+    kernel. Source order matches the boolean-mask flattening (cell-major,
+    coils contiguous)."""
+    k = np.zeros((kx, ky, 2 * nc, 2 * nc), np.float32)
+    for ci, (ox, oy) in enumerate(cells):
+        w = weights_c[:, ci * nc:(ci + 1) * nc]        # (nc_out, nc_in)
+        wr, wi = w.real.T, w.imag.T                    # (nc_in, nc_out)
+        k[ox, oy, :nc, :nc] = wr
+        k[ox, oy, nc:, :nc] = -wi
+        k[ox, oy, :nc, nc:] = wi
+        k[ox, oy, nc:, nc:] = wr
+    return k
 
 
 class Grappa:
@@ -107,7 +136,8 @@ class Grappa:
         if np.sum(np.abs(kspace[..., 0]) == 0) == 0:
             return {"patches": np.zeros((0, kx, ky, nc), bool),
                     "patch_indices": np.zeros((0,), int),
-                    "holes_x": {}, "holes_y": {}}
+                    "holes_x": {}, "holes_y": {},
+                    "iidx_map": np.full(kspace.shape[:2], -1, np.int32)}
 
         kpad_mask = np.pad(np.abs(kspace[..., 0]) > 0,
                            ((kx2, kx2), (ky2, ky2)), mode="constant")
@@ -128,29 +158,67 @@ class Grappa:
             idx = np.unravel_index(np.argwhere(iidx == ii), psh)
             holes_x[ii] = np.atleast_1d((idx[0] + kx2).squeeze())
             holes_y[ii] = np.atleast_1d((idx[1] + ky2).squeeze())
+        # position -> unique-patch id (the conv apply path selects each
+        # pixel's geometry output from this map)
+        iidx_map = iidx.reshape(psh).astype(np.int32)
         return {"patches": patches, "patch_indices": valid,
-                "holes_x": holes_x, "holes_y": holes_y}
+                "holes_x": holes_x, "holes_y": holes_y,
+                "iidx_map": iidx_map}
 
     # ------------------------------------------------------------------
 
     def compute_weights(self, calib: np.ndarray) -> Dict[int, np.ndarray]:
-        """Per-geometry weights from ACS data (device LS solve)."""
+        """Per-geometry weights from ACS data.
+
+        TPU formulation: every geometry's normal equations are submatrices
+        of ONE Gram matrix G = W^H W over the full (kx*ky*nc)-column window
+        matrix (the center-cell targets are themselves columns of W), so
+        the ACS windows hit the MXU exactly once; per-geometry systems are
+        then zero-padded to a shared static size and solved with a single
+        compiled batched block-solve (identity rows keep padding inert, so
+        the solutions are exact). Replaces the vendored per-geometry
+        window fancy-indexing, which re-touches the ACS for every geometry.
+        """
         calib = np.moveaxis(np.asarray(calib), self.coil_axis, -1)
         kx, ky = self.kernel_size
         kx2, ky2 = kx // 2, ky // 2
         nc = calib.shape[-1]
         calib = np.pad(calib, ((kx2, kx2), (ky2, ky2), (0, 0)),
                        mode="constant")
-        wins = sliding_window_view(calib, (kx, ky, nc)).reshape(-1, kx, ky, nc)
+        wins = sliding_window_view(calib, (kx, ky, nc)).reshape(-1,
+                                                                kx * ky * nc)
+        gram = np.asarray(to_complex(_gram(to_pair(wins))))   # (KC, KC)
+
+        valid = self.kernel_var_dict["patch_indices"]
+        if len(valid) == 0:
+            return {}
+        center_cols = ((kx2 * ky + ky2) * nc + np.arange(nc))
+
+        cols_per_geom = []
+        for ii in valid:
+            mask = self.kernel_var_dict["patches"][ii]        # (kx,ky,nc)
+            cols_per_geom.append(np.flatnonzero(mask.ravel()))
+        ns_max = max(len(c) for c in cols_per_geom)
+
+        g_count = len(valid)
+        shs = np.zeros((g_count, ns_max, ns_max), np.complex64)
+        sht = np.zeros((g_count, ns_max, nc), np.complex64)
+        lamda0 = np.zeros((g_count,), np.float32)
+        for gi, cols in enumerate(cols_per_geom):
+            ns = len(cols)
+            sub = gram[np.ix_(cols, cols)]
+            shs[gi, :ns, :ns] = sub
+            shs[gi, ns:, ns:] = np.eye(ns_max - ns)           # inert padding
+            sht[gi, :ns] = gram[np.ix_(cols, center_cols)]
+            lamda0[gi] = self.lamda * np.linalg.norm(sub) / ns
+
+        w_all = np.asarray(to_complex(_solve_weights_batched(
+            to_pair(shs), to_pair(sht), jnp.asarray(lamda0))))
 
         weights: Dict[int, np.ndarray] = {}
-        for ii in self.kernel_var_dict["patch_indices"]:
-            mask = self.kernel_var_dict["patches"][ii]       # (kx,ky,nc) bool
-            s = wins[:, mask]                                # (N, ns) complex
-            t = wins[:, kx2, ky2, :]                         # (N, nc)
-            shs, sht = _normal_eqs(to_pair(s), to_pair(t))
-            w = _solve_weights(shs, sht, self.lamda)         # (nc, ns, 2)
-            weights[ii] = to_complex(w)
+        for gi, ii in enumerate(valid):
+            ns = len(cols_per_geom[gi])
+            weights[ii] = w_all[gi][:, :ns]                   # (nc, ns)
         return weights
 
     # ------------------------------------------------------------------
@@ -166,20 +234,21 @@ class Grappa:
         kpad = np.pad(kspace, ((kx2, kx2), (ky2, ky2), (0, 0)),
                       mode="constant")
         kpad_pair = jnp.asarray(to_pair(kpad))
-        recon = np.zeros_like(kpad)
 
-        for ii in self.kernel_var_dict["patch_indices"]:
-            mask2d = self.kernel_var_dict["patches"][ii][..., 0]   # (kx,ky)
-            cells = np.argwhere(mask2d)                            # (ncells,2)
-            hx = self.kernel_var_dict["holes_x"][ii]
-            hy = self.kernel_var_dict["holes_y"][ii]
-            holes = np.stack([hx, hy], axis=1)                     # (M,2)
-            # absolute source coords: window top-left + cell offset
-            coords = (holes[:, None, :] - np.array([kx2, ky2])
-                      + cells[None, :, :]).astype(np.int32)
-            vals = _apply_geometry(kpad_pair, jnp.asarray(coords),
-                                   jnp.asarray(to_pair(weights[ii])))
-            recon[hx, hy, :] = to_complex(vals)
+        valid = self.kernel_var_dict["patch_indices"]
+        iidx_map = self.kernel_var_dict["iidx_map"]
+        geom_map = np.full(iidx_map.shape, -1, np.int32)
+        kernels = np.zeros((max(len(valid), 1), kx, ky, 2 * nc, 2 * nc),
+                           np.float32)
+        for gi, ii in enumerate(valid):
+            geom_map[iidx_map == ii] = gi
+            cells = np.argwhere(self.kernel_var_dict["patches"][ii][..., 0])
+            kernels[gi] = _block_kernel(np.asarray(weights[ii]), cells,
+                                        kx, ky, nc)
 
-        out = (recon + kpad)[kx2:-kx2, ky2:-ky2, :]
+        vals = _apply_kernels_conv(kpad_pair, jnp.asarray(kernels),
+                                   jnp.asarray(geom_map))
+        # holes are zero in the input, so adding the conv output (zero off
+        # the holes) reproduces recon + kspace of the vendored code
+        out = kspace + to_complex(vals)
         return np.moveaxis(out, -1, self.coil_axis)
