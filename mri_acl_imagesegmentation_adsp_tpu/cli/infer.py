@@ -64,8 +64,17 @@ def main(argv=None) -> int:
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     k = margs.get("k", 1)
     classes = margs.get("classes", 1)
+    imagenet_norm = bool(margs.get("imagenet_norm"))
 
     def apply_fn(x):
+        if imagenet_norm:
+            # same input transform as training (trainer._input_transform):
+            # replicate 1->3 channels, then per-channel mean/std normalize
+            if x.shape[-1] == 1:
+                x = jnp.repeat(x, 3, axis=-1)
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            x = (x - mean) / std
         return model.apply({"params": params, "batch_stats": batch_stats},
                            x, train=False)
 

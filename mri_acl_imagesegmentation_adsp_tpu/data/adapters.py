@@ -25,6 +25,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from ..ops.cpair import to_pair_np as _to_pair_np
+
 
 class BaseAdapter(ABC):
     """Abstract base class for dataset adapters."""
@@ -39,13 +41,6 @@ class BaseAdapter(ABC):
     @abstractmethod
     def load_record(self, record: Any) -> Any:
         """Load a single record given a descriptor from discover_records."""
-
-
-def _to_pair_np(x: np.ndarray) -> np.ndarray:
-    """complex ndarray -> float32 (..., 2) re/im pair (device-safe)."""
-    if np.iscomplexobj(x):
-        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
-    return np.stack([x, np.zeros_like(x)], axis=-1).astype(np.float32)
 
 
 class FastMRISinglecoilAdapter(BaseAdapter):

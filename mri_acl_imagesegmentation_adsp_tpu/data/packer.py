@@ -125,8 +125,15 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
     for filepath, record_defs in grouped.items():
         if isinstance(adapter, FastMRISinglecoilAdapter):
             vol = adapter.load_volume(filepath)
-            pack = preprocessor.preprocess_volume_pairs(
-                vol["kspace_pair"], vol["metas"])
+            # record priority image -> target -> kspace (the reference
+            # preprocesses the reconstruction target when the h5 has one,
+            # mri_preprocess.py:267-296)
+            if vol["target"] is not None:
+                pack = preprocessor.preprocess_volume_images(
+                    vol["target"], vol["metas"], source="target")
+            else:
+                pack = preprocessor.preprocess_volume_pairs(
+                    vol["kspace_pair"], vol["metas"])
         else:
             loaded = [adapter.load_record(rec) for rec in record_defs]
             pack = preprocessor.preprocess_records(loaded)

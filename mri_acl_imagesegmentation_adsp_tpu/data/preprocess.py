@@ -119,13 +119,19 @@ class MRIKneePreprocessor:
         mk = jnp.stack([o[2] for o in outs])
         return img_z, img_01, mk
 
-    # hashable for jit static self
+    # hashable for jit static self (equality must compare the actual config,
+    # not hashes — hash collisions would silently reuse a wrong compiled
+    # pipeline from the jit cache)
+    def _config(self):
+        return (self.out_size, self.slice_keep, self.clip_percentiles,
+                self.use_n4, self.use_denoise)
+
     def __hash__(self):
-        return hash((self.out_size, self.slice_keep, self.clip_percentiles,
-                     self.use_n4, self.use_denoise))
+        return hash(self._config())
 
     def __eq__(self, other):
-        return isinstance(other, MRIKneePreprocessor) and hash(self) == hash(other)
+        return (isinstance(other, MRIKneePreprocessor)
+                and self._config() == other._config())
 
     # ------------------------------------------------------------------
     # Public API (reference-compatible)
@@ -205,20 +211,31 @@ class MRIKneePreprocessor:
 
     def preprocess_volume_pairs(self, kspace_pair: np.ndarray,
                                 metas: Optional[List[dict]] = None) -> Dict[str, Any]:
-        """Bulk path for adapters' load_volume output: (S,H,W,2) k-space.
+        """Bulk k-space path: (S,H,W,2) pairs through the keep band + chain."""
+        return self._preprocess_volume(jnp.asarray(kspace_pair), True,
+                                       "kspace", metas)
 
-        Applies the keep band and the vmapped chain in one device call.
-        """
-        ns = kspace_pair.shape[0]
+    def preprocess_volume_images(self, images: np.ndarray,
+                                 metas: Optional[List[dict]] = None,
+                                 source: str = "target") -> Dict[str, Any]:
+        """Bulk image/target path: (S,H,W) float stack (e.g. the h5
+        reconstruction_* target, which outranks k-space in the reference's
+        record priority, mri_preprocess.py:267-296)."""
+        return self._preprocess_volume(
+            jnp.asarray(np.asarray(images, np.float32)), False, source, metas)
+
+    def _preprocess_volume(self, stack, from_kspace: bool, source: str,
+                           metas: Optional[List[dict]]) -> Dict[str, Any]:
+        ns = stack.shape[0]
         s0, s1 = self._keep_band(ns)
-        img_z, img_01, mk = self._volume_chain(jnp.asarray(kspace_pair[s0:s1]), True)
+        img_z, img_01, mk = self._volume_chain(stack[s0:s1], from_kspace)
         metas = metas[s0:s1] if metas else [{} for _ in range(s1 - s0)]
         return {
             "tensor": np.asarray(img_z, np.float32)[:, None],
             "preview": np.asarray(img_01, np.float32),
             "mask": np.asarray(mk, np.uint8),
             "indices": [m.get("slice_idx", s0 + i) for i, m in enumerate(metas)],
-            "sources": ["kspace"] * (s1 - s0),
+            "sources": [source] * (s1 - s0),
             "metas": metas,
         }
 
@@ -257,9 +274,10 @@ class MRIKneePreprocessor:
     @staticmethod
     def _pairify(ksp: np.ndarray) -> np.ndarray:
         """complex (…,H,W) or (…,H,W,2) pair -> (…,H,W,2) float32 pair."""
+        from ..ops.cpair import to_pair_np
         ksp = np.asarray(ksp)
         if np.iscomplexobj(ksp):
-            return np.stack([ksp.real, ksp.imag], axis=-1).astype(np.float32)
+            return to_pair_np(ksp)
         if ksp.ndim >= 1 and ksp.shape[-1] == 2:
             return ksp.astype(np.float32)
         raise ValueError(

@@ -68,6 +68,17 @@ def to_pair(x) -> jnp.ndarray:
     return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
 
 
+def to_pair_np(x: np.ndarray) -> np.ndarray:
+    """Host-side complex (or real) ndarray -> float32 (..., 2) pair.
+
+    The single NumPy converter behind the adapter/preprocess/transform
+    entry points (device-side code uses :func:`to_pair`)."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    return np.stack([x, np.zeros_like(x)], axis=-1).astype(np.float32)
+
+
 def to_complex(x: jnp.ndarray) -> np.ndarray:
     """(..., 2) pair -> host complex64 ndarray."""
     x = np.asarray(x)

@@ -298,8 +298,10 @@ class Engine:
     @classmethod
     def _colorize_mc(cls, mask: np.ndarray) -> np.ndarray:
         out = np.zeros((*mask.shape, 3), np.uint8)
-        for i, c in enumerate(np.unique(mask)):
-            out[mask == c] = cls._MC_PALETTE[i % len(cls._MC_PALETTE)]
+        for c in np.unique(mask):
+            # index the palette by CLASS ID so a class keeps its color
+            # across panels regardless of which classes are present
+            out[mask == c] = cls._MC_PALETTE[int(c) % len(cls._MC_PALETTE)]
         return out
 
     @staticmethod

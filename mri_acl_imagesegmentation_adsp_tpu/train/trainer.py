@@ -66,7 +66,7 @@ class UNet2DArgs:
     epochs: int = 40
     lr: float = 1e-3
     weight_decay: float = 1e-4
-    workers: int = 4                         # accepted for config parity (no host workers needed)
+    workers: int = 4                         # ingest threads for the slice store
     loss: str = "dice_bce"
     amp: bool = False                        # True -> bf16 compute
     seed: int = 2024
@@ -133,8 +133,9 @@ class UNet2DTrainer:
     def _build_stores(self) -> None:
         a = self.args
         dt = jnp.bfloat16 if a.store_dtype == "bfloat16" else jnp.float32
-        self.train_src = SliceStore.from_list(a.train_list)
-        self.val_src = SliceStore.from_list(a.val_list)
+        self.train_src = SliceStore.from_list(a.train_list,
+                                              workers=a.workers)
+        self.val_src = SliceStore.from_list(a.val_list, workers=a.workers)
         self.train_store = self.train_src.to_device(
             k=a.k, image_dtype=dt, mesh=self.mesh, shard=a.store_sharded)
         self.val_store = self.val_src.to_device(
@@ -286,6 +287,8 @@ class UNet2DTrainer:
         t0 = time.time()
         n_train = self.train_store.num_slices
         val_bs = max(1, a.batch_size // 2)
+        first_epoch = self.start_epoch  # fixed: resume snapshots move
+        #                                 start_epoch, profiling must not re-arm
 
         for ep in range(self.start_epoch, a.epochs + 1):
             ep_key, aug_key, self.rng = jax.random.split(self.rng, 3)
@@ -295,7 +298,7 @@ class UNet2DTrainer:
             self.state = self.state._replace(
                 opt_state=set_lr(self.state.opt_state, lr_now))
 
-            profiling = ep - self.start_epoch < a.profile_epochs
+            profiling = ep - first_epoch < a.profile_epochs
             if profiling:
                 jax.profiler.start_trace(str(self.out_dir / "profile"))
             self.state, step_losses, train_loss = self.engine.train_one_epoch(

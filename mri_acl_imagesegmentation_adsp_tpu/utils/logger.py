@@ -86,7 +86,9 @@ def get_logger(name: str, log_file: str | None = None,
     if console:
         handlers.append(logging.StreamHandler(sys.stdout))
     if log_file:
-        os.makedirs(os.path.dirname(log_file), exist_ok=True)
+        log_dir = os.path.dirname(log_file)
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
         handlers.append(TimedRotatingFileHandler(
             log_file, when="midnight", backupCount=7, encoding="utf-8"))
     for h in handlers:

@@ -153,6 +153,33 @@ def test_volume_chain_equals_slice_chain(fake_fastmri_root):
 # Packer / artifact layout
 # ---------------------------------------------------------------------------
 
+def test_build_preprocess_prefers_target_over_kspace(fake_fastmri_root,
+                                                     tmp_path, rng):
+    """Record priority image -> target -> kspace also governs the bulk
+    fast path (the reference preprocesses reconstruction_* when present,
+    mri_preprocess.py:267-296) — regression test for the k-space shortcut."""
+    root, vols = fake_fastmri_root
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+    args = SimpleNamespace(root_dir=str(root), out_dir=str(tmp_path / "a"),
+                           height=32, width=32, slice_keep="0.3,0.7",
+                           clip="1.0,99.5", use_n4=False, use_denoise=False,
+                           preview_max=0)
+    summary = build_preprocess(args, adapter)
+    vol_dir = Path(summary[0]["output_dir"])
+    metas = json.loads((vol_dir / "metas.json").read_text())
+    assert metas[0]["target_key"] == "reconstruction_esc"
+    with np.load(vol_dir / "volume.npz") as z:
+        got = z["img"][0, 0]
+
+    # oracle: per-record path on the same slice (source must be target)
+    pre = MRIKneePreprocessor(out_size=(32, 32), slice_keep=(0.3, 0.7))
+    fp = summary[0]["filepath"]
+    rec = adapter.load_record({"filepath": fp, "slice_idx": 2})  # band [2,5)
+    out = pre.preprocess_record(rec)
+    assert out["source"] == "target"
+    np.testing.assert_allclose(got, out["img_z"], rtol=1e-4, atol=1e-4)
+
+
 def test_build_preprocess_artifact_layout(fake_fastmri_root, tmp_path):
     root, vols = fake_fastmri_root
     adapter = FastMRISinglecoilAdapter(root_dir=str(root))
