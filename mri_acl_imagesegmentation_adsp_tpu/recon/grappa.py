@@ -65,34 +65,34 @@ def _apply_kernels_conv(kpad_pair: jnp.ndarray, kernels: jnp.ndarray,
     """Fill every hole of every geometry with one batched convolution.
 
     GRAPPA weight application IS a (kx, ky) convolution over the coil
-    channels: recon[x, y, c] = sum_{cell, u} W[c, cell, u] *
-    kpad[x+ox, y+oy, u]. Complex multiply folds into a real conv over 2*nc
-    channels with the block kernel [[Wr, Wi], [-Wi, Wr]]. Per-hole gathers
-    (index-bound, slow on TPU) become pure MXU work; each pixel then selects
-    its geometry's output via geom_map (H*W one-hot compare).
+    channels: recon[b, x, y, c] = sum_{cell, u} W[c, cell, u] *
+    kpad[b, x+ox, y+oy, u]. Complex multiply folds into a real conv over
+    2*nc channels with the block kernel [[Wr, Wi], [-Wi, Wr]]. Per-hole
+    gathers (index-bound, slow on TPU) become pure MXU work; each pixel
+    then selects its geometry's output via geom_map (H*W one-hot compare).
 
-    kpad_pair: (Xp, Yp, nc, 2) zero-padded k-space.
+    kpad_pair: (B, Xp, Yp, nc, 2) zero-padded k-space stack — every element
+      shares the sampling pattern and the weight set (e.g. the averages of
+      one T2/DWI slice), so one conv covers them all.
     kernels: (G, kx, ky, 2nc, 2nc) per-geometry block kernels.
     geom_map: (X, Y) int32, geometry index per position (-1 = not a hole).
-    Returns (X, Y, nc, 2) hole values (zeros where geom_map < 0).
+    Returns (B, X, Y, nc, 2) hole values (zeros where geom_map < 0).
     """
-    xp, yp, nc, _ = kpad_pair.shape
+    b, xp, yp, nc, _ = kpad_pair.shape
     g_count = kernels.shape[0]
     # channels-last real image with re/im interleaved as 2nc channels
     x = jnp.concatenate([kpad_pair[..., 0], kpad_pair[..., 1]], axis=-1)
-    x = x[None]                                        # (1, Xp, Yp, 2nc)
 
     def conv_one(k):
-        out = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST)
-        return out[0]                                  # (X, Y, 2nc)
+            precision=jax.lax.Precision.HIGHEST)       # (B, X, Y, 2nc)
 
-    outs = jax.vmap(conv_one)(kernels)                 # (G, X, Y, 2nc)
+    outs = jax.vmap(conv_one)(kernels)                 # (G, B, X, Y, 2nc)
     sel = jax.nn.one_hot(geom_map, g_count, axis=0,
                          dtype=outs.dtype)             # (G, X, Y)
-    mixed = jnp.einsum("gxyc,gxy->xyc", outs, sel)
+    mixed = jnp.einsum("gbxyc,gxy->bxyc", outs, sel)
     re, im = mixed[..., :nc], mixed[..., nc:]
     return jnp.stack([re, im], axis=-1)
 
@@ -223,18 +223,9 @@ class Grappa:
 
     # ------------------------------------------------------------------
 
-    def apply_weights(self, kspace: np.ndarray,
-                      weights: Dict[int, np.ndarray]) -> np.ndarray:
-        """Fill every hole (device gather+matmul per geometry)."""
-        kspace = np.moveaxis(np.asarray(kspace), self.coil_axis, -1)
+    def _conv_materials(self, weights: Dict[int, np.ndarray], nc: int):
+        """geom_map + per-geometry block kernels for the conv apply path."""
         kx, ky = self.kernel_size
-        kx2, ky2 = kx // 2, ky // 2
-        nc = kspace.shape[-1]
-
-        kpad = np.pad(kspace, ((kx2, kx2), (ky2, ky2), (0, 0)),
-                      mode="constant")
-        kpad_pair = jnp.asarray(to_pair(kpad))
-
         valid = self.kernel_var_dict["patch_indices"]
         iidx_map = self.kernel_var_dict["iidx_map"]
         geom_map = np.full(iidx_map.shape, -1, np.int32)
@@ -245,10 +236,39 @@ class Grappa:
             cells = np.argwhere(self.kernel_var_dict["patches"][ii][..., 0])
             kernels[gi] = _block_kernel(np.asarray(weights[ii]), cells,
                                         kx, ky, nc)
+        return geom_map, kernels
 
-        vals = _apply_kernels_conv(kpad_pair, jnp.asarray(kernels),
+    def apply_weights(self, kspace: np.ndarray,
+                      weights: Dict[int, np.ndarray]) -> np.ndarray:
+        """Fill every hole of one slice (device conv, see batch path)."""
+        return self.apply_weights_batch(
+            np.asarray(kspace)[None], weights)[0]
+
+    def apply_weights_batch(self, kspaces: np.ndarray,
+                            weights: Dict[int, np.ndarray]) -> np.ndarray:
+        """Fill the holes of a STACK of k-spaces sharing one sampling
+        pattern and weight set — e.g. all averages of a T2/DWI slice — in a
+        single device convolution (the batch rides the conv's N axis, so
+        the MXU work amortizes the kernel/geometry setup).
+
+        kspaces: (B, ...) where each element matches apply_weights input
+        (coil axis at ``self.coil_axis`` of the ELEMENT).
+        """
+        ks = np.asarray(kspaces)
+        elem_axis = self.coil_axis if self.coil_axis < 0 \
+            else self.coil_axis + 1
+        ks = np.moveaxis(ks, elem_axis, -1)            # (B, X, Y, nc)
+        kx, ky = self.kernel_size
+        kx2, ky2 = kx // 2, ky // 2
+        nc = ks.shape[-1]
+
+        kpad = np.pad(ks, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0)),
+                      mode="constant")
+        geom_map, kernels = self._conv_materials(weights, nc)
+        vals = _apply_kernels_conv(jnp.asarray(to_pair(kpad)),
+                                   jnp.asarray(kernels),
                                    jnp.asarray(geom_map))
         # holes are zero in the input, so adding the conv output (zero off
         # the holes) reproduces recon + kspace of the vendored code
-        out = kspace + to_complex(vals)
-        return np.moveaxis(out, -1, self.coil_axis)
+        out = ks + to_complex(vals)
+        return np.moveaxis(out, -1, elem_axis)

@@ -90,12 +90,16 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
         wd2[s] = grappa_obj_2.compute_weights(calib)
 
     kspace_post = np.zeros(kspace_data.shape, dtype=complex)
-    for avg, obj, w in zip(range(3), [grappa_obj, grappa_obj_2, grappa_obj],
-                           [wd, wd2, wd]):
-        for s in range(num_slices):
-            filled = obj.apply_weights(
-                np.transpose(kspace_data[avg, s], (2, 0, 1)), w[s])
-            kspace_post[avg, s] = np.moveaxis(np.moveaxis(filled, 0, 1), 1, 2)
+    for s in range(num_slices):
+        to_grappa = lambda a: np.transpose(kspace_data[a, s], (2, 0, 1))
+        # averages 0 and 2 share weight set 1: ONE batched device conv
+        # fills both (apply_weights_batch); average 1 uses set 2
+        f02 = grappa_obj.apply_weights_batch(
+            np.stack([to_grappa(0), to_grappa(2)]), wd[s])
+        f1 = grappa_obj_2.apply_weights(to_grappa(1), wd2[s])
+        kspace_post[0, s] = np.transpose(f02[0], (1, 2, 0))
+        kspace_post[2, s] = np.transpose(f02[1], (1, 2, 0))
+        kspace_post[1, s] = np.transpose(f1, (1, 2, 0))
 
     if hdr is None:
         padding = 0.0
