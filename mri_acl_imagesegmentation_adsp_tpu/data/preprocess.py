@@ -244,16 +244,16 @@ class MRIKneePreprocessor:
     # ------------------------------------------------------------------
 
     def _keep_band(self, ns: int) -> Tuple[int, int]:
-        """Reference keep-band arithmetic (mri_preprocess.py:111-119)."""
-        s0 = max(0, int(ns * self.slice_keep[0]))
-        s1 = min(ns, int(ns * self.slice_keep[1]))
-        s1 = max(s1, s0 + 1)
-        if s1 > ns:
-            s1 = ns
+        """[s0, s1) band of kept slices: truncate ns*lo / ns*hi, guarantee
+        at least one slice, fall back to the full volume on a degenerate
+        band (same selection as reference mri_preprocess.py:111-119)."""
+        lo, hi = self.slice_keep
+        s0 = int(ns * lo)
+        s1 = min(max(int(ns * hi), s0 + 1), ns)
         if s0 >= s1:
             s0, s1 = 0, ns
-        if s0 >= s1:
-            raise ValueError("slice_keep produced an empty selection.")
+        if s0 >= s1:  # only reachable when ns == 0
+            raise ValueError("slice_keep selected no slices")
         return s0, s1
 
     @staticmethod
@@ -284,37 +284,45 @@ class MRIKneePreprocessor:
             "kspace is not complex. Combine (real, imag) -> complex or a "
             "(H,W,2) pair before preprocessing.")
 
+    # 2-D float sources in adapter-record priority order; every
+    # reconstruction_* key carries the "target" source tag
+    # (the ordering of reference mri_preprocess.py:267-296).
+    _FLOAT_SOURCES = (("image", "image"), ("target", "target"),
+                      ("reconstruction", "target"),
+                      ("reconstruction_rss", "target"),
+                      ("reconstruction_esc", "target"))
+
     @staticmethod
     def _normalize_record_input(record: Dict[str, Any]):
-        """Priority image -> target(reconstruction*) -> kspace
-        (mri_preprocess.py:267-296)."""
+        """Pick the record's input array: image, else any reconstruction
+        target, else raw k-space. Returns (array, source_tag, meta)."""
         meta = record.get("meta", {})
 
-        if record.get("image", None) is not None:
-            img = MRIKneePreprocessor._to_float32(record["image"])
-            if img.ndim != 2:
-                raise ValueError(f"image must have shape (H,W), got {img.shape}")
-            return img, "image", meta
+        for key, tag in MRIKneePreprocessor._FLOAT_SOURCES:
+            value = record.get(key)
+            if value is None:
+                continue
+            arr = MRIKneePreprocessor._to_float32(value)
+            if arr.ndim != 2:
+                raise ValueError(
+                    f"record field {key!r} must be a 2-D slice, "
+                    f"got shape {arr.shape}")
+            return arr, tag, meta
 
-        for k in ("target", "reconstruction", "reconstruction_rss",
-                  "reconstruction_esc"):
-            if record.get(k, None) is not None:
-                rec = MRIKneePreprocessor._to_float32(record[k])
-                if rec.ndim != 2:
-                    raise ValueError(f"{k} must have shape (H,W), got {rec.shape}")
-                return rec, "target", meta
-
-        ksp = record.get("kspace", None)
+        ksp = record.get("kspace")
         if ksp is None:
-            raise ValueError("Record has no valid image/target/kspace.")
+            raise ValueError(
+                "record carries none of image / reconstruction target / "
+                "kspace — nothing to preprocess")
         ksp = np.squeeze(ksp)
         if not np.iscomplexobj(ksp):
             if ksp.ndim == 3 and ksp.shape[0] == 2:
                 raise ValueError(
-                    "kspace is not complex. Combine (real,imag) -> complex "
-                    "before preprocessing.")
+                    "kspace arrived as a split (2, H, W) real/imag stack; "
+                    "combine it to complex (or an (H, W, 2) pair) first")
             if not (ksp.ndim == 3 and ksp.shape[-1] == 2):
-                raise ValueError("kspace must be complex (H,W) or (H,W,2) pair")
+                raise ValueError(
+                    "kspace must be complex (H, W) or an (H, W, 2) pair")
         MRIKneePreprocessor._ensure_2d(ksp, "kspace")
         return ksp, "kspace", meta
 
@@ -324,17 +332,21 @@ class MRIKneePreprocessor:
 # ---------------------------------------------------------------------------
 
 def _resolve_preprocessor(preprocessor=None, **kwargs):
-    if preprocessor is not None and kwargs:
-        raise ValueError("Provide either an existing preprocessor or keyword "
-                         "overrides, not both.")
-    return preprocessor or MRIKneePreprocessor(**kwargs)
+    if preprocessor is None:
+        return MRIKneePreprocessor(**kwargs)
+    if kwargs:
+        raise ValueError(
+            "pass a ready preprocessor OR constructor kwargs, not both")
+    return preprocessor
 
 
 def preprocess_record(record, *, preprocessor=None, **kwargs):
+    """Module-level shim for one-off calls (mri_preprocess.py:300-319)."""
     return _resolve_preprocessor(preprocessor, **kwargs).preprocess_record(record)
 
 
 def preprocess_records(records, *, preprocessor=None, **kwargs):
+    """Module-level shim for one-off volume calls."""
     return _resolve_preprocessor(preprocessor, **kwargs).preprocess_records(records)
 
 

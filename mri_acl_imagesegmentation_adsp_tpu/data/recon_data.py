@@ -21,31 +21,49 @@ import numpy as np
 from ..recon.dwi import trapezoidal_regridding
 
 
-def et_query(root, qlist, namespace: str = "http://www.ismrm.org/ISMRMRD") -> str:
-    """Namespaced ElementTree path query (vendored mri_data.py:88-120)."""
-    s = "."
-    prefix = "ismrmrd_namespace"
-    ns = {prefix: namespace}
-    for el in qlist:
-        s += f"/{prefix}:{el}"
-    value = root.find(s, ns)
-    if value is None:
-        raise RuntimeError("Element not found")
-    return str(value.text)
+_ISMRMRD_NS = "http://www.ismrm.org/ISMRMRD"
+
+
+def _q(tag: str) -> str:
+    """Clark-notation qualified ISMRMRD tag for ElementTree lookups."""
+    return "{%s}%s" % (_ISMRMRD_NS, tag)
+
+
+def et_query(root, qlist, namespace: str = _ISMRMRD_NS) -> str:
+    """Text of a nested ISMRMRD header element.
+
+    ``qlist`` names the element path from the header root, e.g.
+    ``["encoding", "encodedSpace", "matrixSize", "x"]``. Same lookup the
+    vendored loader performs (mri_data.py:88-120), expressed with
+    Clark-notation qualified tags instead of a prefix map.
+    """
+    path = "/".join("{%s}%s" % (namespace, tag) for tag in qlist)
+    node = root.find(path)
+    if node is None:
+        raise RuntimeError(
+            f"ISMRMRD header element not found: {'/'.join(qlist)}")
+    return str(node.text)
 
 
 def get_regridding_params(hdr: str) -> Dict:
-    """EPI timing params from the header (vendored mri_data.py:163-193)."""
-    res = {"rampUpTime": None, "rampDownTime": None, "flatTopTime": None,
-           "acqDelayTime": None, "echoSpacing": None}
-    et_root = etree.fromstring(hdr)
-    namespace = {"ns": "http://www.ismrm.org/ISMRMRD"}
-    for node in et_root.findall(
-            "ns:encoding/ns:trajectoryDescription/ns:userParameterLong",
-            namespace):
-        if node[0].text in res:
-            res[node[0].text] = float(node[1].text)
-    return res
+    """EPI ramp-sampling timing constants from the ISMRMRD header XML.
+
+    Reads the ``userParameterLong`` entries under
+    encoding/trajectoryDescription (the fields the vendored loader consumes,
+    mri_data.py:163-193); absent fields stay None.
+    """
+    wanted = ("rampUpTime", "rampDownTime", "flatTopTime",
+              "acqDelayTime", "echoSpacing")
+    out: Dict[str, Optional[float]] = dict.fromkeys(wanted)
+    root = etree.fromstring(hdr)
+    traj_params = root.findall(
+        f"{_q('encoding')}/{_q('trajectoryDescription')}"
+        f"/{_q('userParameterLong')}")
+    for param in traj_params:
+        name = param.findtext(_q("name"))
+        if name in out:
+            out[name] = float(param.findtext(_q("value")))
+    return out
 
 
 def load_file_T2(fname: str) -> Tuple:

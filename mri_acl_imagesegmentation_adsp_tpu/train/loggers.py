@@ -1,17 +1,19 @@
-"""Training loggers: protocol + CSV / NoOp adapters.
+"""Training loggers: protocol + CSV / NoOp sinks.
 
-Parity targets:
-  - TrainLogger protocol : reference src/train/log_iface.py:5-29
-  - NoOpLogger, CSVLoggerAdapter (history_epoch.csv 7 cols,
-    history_step.csv 4 cols, metrics.json) : reference src/train/log_adapter.py
+Contract (checked by tests/test_cli.py): runs produce ``history_epoch.csv``
+with columns (epoch, time_s, train_loss, val_loss, val_dice, val_iou, lr),
+``history_step.csv`` with columns (global_step, epoch, lr, train_loss_step),
+and a ``metrics.json`` metadata dump — the artifact layout of reference
+src/train/log_adapter.py and the protocol of src/train/log_iface.py:5-29.
+The implementation is our own: schema-driven CSV sinks with buffered
+appends, sized for a jitted epoch that returns every step loss at once.
 """
 
 from __future__ import annotations
 
-import csv
 import json
-import os
-from typing import Any, Dict, Protocol
+from pathlib import Path
+from typing import Any, Dict, Iterable, Protocol, Sequence
 
 
 class TrainLogger(Protocol):
@@ -26,6 +28,8 @@ class TrainLogger(Protocol):
 
 
 class NoOpLogger:
+    """Swallows everything (``--logger noop``)."""
+
     def log_step(self, **kw): pass
     def log_epoch(self, **kw): pass
     def log_best(self, **kw): pass
@@ -33,56 +37,76 @@ class NoOpLogger:
     def close(self): pass
 
 
-class CSVLoggerAdapter:
-    """CSV logger with the reference's exact files/columns.
+class _CsvSink:
+    """One append-only CSV file with a fixed column schema.
 
-    Per-step rows are written in one buffered append per epoch via
-    ``log_steps`` (the jitted epoch returns all step losses at once); the
-    per-row ``log_step`` API is kept for drop-in compatibility.
+    The header is written once at construction (unless the file already has
+    content, so re-opened runs keep appending). Rows are plain ``join`` —
+    every value we emit is numeric, so no quoting is ever needed.
     """
 
+    def __init__(self, path: Path, columns: Sequence[str]):
+        self.path = path
+        self.columns = tuple(columns)
+        if not (path.exists() and path.stat().st_size > 0):
+            path.write_text(",".join(self.columns) + "\n", encoding="utf-8")
+
+    def append(self, values: Iterable[Any]) -> None:
+        self.append_many([values])
+
+    def append_many(self, rows: Iterable[Iterable[Any]]) -> None:
+        text = "".join(
+            ",".join(str(v) for v in row) + "\n" for row in rows)
+        with self.path.open("a", encoding="utf-8") as f:
+            f.write(text)
+
+
+class CSVLoggerAdapter:
+    """CSV logger producing the reference run-artifact layout.
+
+    ``log_steps`` lands a whole epoch's per-step losses in one buffered
+    append (the jitted epoch scan hands them back as a single array);
+    ``log_step`` remains for per-row drop-in use.
+    """
+
+    _EPOCH_COLS = ("epoch", "time_s", "train_loss", "val_loss",
+                   "val_dice", "val_iou", "lr")
+    _STEP_COLS = ("global_step", "epoch", "lr", "train_loss_step")
+
     def __init__(self, out_dir: str):
-        os.makedirs(out_dir, exist_ok=True)
-        self.ep = os.path.join(out_dir, "history_epoch.csv")
-        self.st = os.path.join(out_dir, "history_step.csv")
-        if not os.path.exists(self.ep):
-            with open(self.ep, "w", newline="") as f:
-                csv.writer(f).writerow(
-                    ["epoch", "time_s", "train_loss", "val_loss",
-                     "val_dice", "val_iou", "lr"])
-        if not os.path.exists(self.st):
-            with open(self.st, "w", newline="") as f:
-                csv.writer(f).writerow(
-                    ["global_step", "epoch", "lr", "train_loss_step"])
-        self.meta = os.path.join(out_dir, "metrics.json")
+        root = Path(out_dir)
+        root.mkdir(parents=True, exist_ok=True)
+        self._epochs = _CsvSink(root / "history_epoch.csv", self._EPOCH_COLS)
+        self._steps = _CsvSink(root / "history_step.csv", self._STEP_COLS)
+        self._meta_path = root / "metrics.json"
 
     def log_step(self, *, global_step: int, epoch: int, lr: float,
                  loss: float) -> None:
-        with open(self.st, "a", newline="") as f:
-            csv.writer(f).writerow([global_step, epoch, lr, loss])
+        self._steps.append((global_step, epoch, lr, loss))
 
     def log_steps(self, *, start_step: int, epoch: int, lr: float,
                   losses) -> None:
-        with open(self.st, "a", newline="") as f:
-            w = csv.writer(f)
-            for i, loss in enumerate(losses):
-                w.writerow([start_step + i, epoch, lr, float(loss)])
+        self._steps.append_many(
+            (start_step + i, epoch, lr, float(loss))
+            for i, loss in enumerate(losses))
 
-    def log_epoch(self, **row) -> None:
-        with open(self.ep, "a", newline="") as f:
-            csv.writer(f).writerow(
-                [row["epoch"], round(row["time_s"], 2), row["train_loss"],
-                 row["val_loss"], row["val_dice"], row["val_iou"], row["lr"]])
+    def log_epoch(self, *, epoch: int, time_s: float, train_loss: float,
+                  val_loss: float, val_dice: float, val_iou: float,
+                  lr: float) -> None:
+        self._epochs.append((epoch, round(time_s, 2), train_loss,
+                             val_loss, val_dice, val_iou, lr))
 
-    def log_best(self, **kw): pass
+    def log_best(self, **kw):
+        pass  # best-checkpoint bookkeeping lives in the trainer's summary
 
-    def log_meta(self, meta):
-        with open(self.meta, "w", encoding="utf-8") as f:
-            json.dump(meta, f, indent=2)
+    def log_meta(self, meta: Dict[str, Any]) -> None:
+        self._meta_path.write_text(json.dumps(meta, indent=2),
+                                   encoding="utf-8")
 
-    def close(self): pass
+    def close(self):
+        pass  # sinks open/close per append; nothing held
 
 
 def make_logger(kind: str, out_dir: str):
-    """reference train_unet.py:29-30."""
+    """``--logger csv|noop`` selection (reference train_unet.py:29-30)."""
     return CSVLoggerAdapter(out_dir) if kind == "csv" else NoOpLogger()
