@@ -61,10 +61,18 @@ def otsu_threshold(image: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
     vmin = jnp.min(x)
     vmax = jnp.max(x)
     span = jnp.maximum(vmax - vmin, jnp.finfo(jnp.float32).tiny)
-    # np.histogram semantics: right-open bins, last bin closed.
-    idx = jnp.clip(jnp.floor((x - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    # np.histogram bin assignment, reproduced exactly: linspace edges
+    # (step*i, last edge pinned to vmax), float index = (x-vmin)*n/span,
+    # then the edge-correction pass numpy applies to absorb the float
+    # rounding of that product (indices must honor the actual edges).
+    step = span / nbins
+    edges = vmin + step * jnp.arange(nbins + 1, dtype=jnp.float32)
+    edges = edges.at[-1].set(vmax)
+    idx = jnp.clip(((x - vmin) * (nbins / span)).astype(jnp.int32),
+                   0, nbins - 1)
+    idx = idx - (x < edges[idx])
+    idx = idx + ((idx < nbins - 1) & (x >= edges[idx + 1]))
     counts = jnp.bincount(idx, length=nbins).astype(jnp.float32)
-    edges = vmin + span * jnp.arange(nbins + 1, dtype=jnp.float32) / nbins
     centers = 0.5 * (edges[:-1] + edges[1:])
 
     w1 = jnp.cumsum(counts)

@@ -81,3 +81,15 @@ def test_identical_masks_zero_distance(rng):
     a = _blob(rng)
     assert float(hd95(jnp.asarray(a), jnp.asarray(a))) == 0.0
     assert float(assd(jnp.asarray(a), jnp.asarray(a))) == 0.0
+
+
+def test_edt_matches_frozen_scipy_goldens():
+    """Frozen scipy.ndimage.distance_transform_edt outputs on the golden
+    body masks (tests/goldens, see make_goldens.py)."""
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "goldens"
+                / "preprocess_goldens.npz")
+    for i in range(8):
+        m = z[f"mask_{i}"].astype(bool)
+        got = np.asarray(edt(jnp.asarray(~m)))
+        np.testing.assert_allclose(got, z[f"edt_{i}"], rtol=1e-4, atol=1e-3)

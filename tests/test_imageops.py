@@ -97,3 +97,16 @@ def test_preview01_matches_reference(rng):
     empty = np.zeros((48, 48), np.uint8)
     got = np.asarray(preview_01(jnp.asarray(img), jnp.asarray(empty)))
     np.testing.assert_allclose(got, _np_preview01(img, empty), rtol=1e-4, atol=1e-5)
+
+
+def test_resize_matches_frozen_torch_goldens():
+    """Frozen torch F.interpolate outputs (tests/goldens, see
+    make_goldens.py) guard against oracle/env drift."""
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "goldens"
+                / "preprocess_goldens.npz")
+    for i in range(8):
+        got = np.asarray(resize_bilinear(jnp.asarray(z[f"img_{i}"]),
+                                         (96, 80)))
+        np.testing.assert_allclose(got, z[f"resize_{i}"],
+                                   rtol=1e-3, atol=1e-4)

@@ -34,13 +34,15 @@ def test_disk_matches_skimage_definition():
 
 
 def test_otsu_matches_skimage_algorithm(rng):
+    """Exact: the device histogram reproduces np.histogram's bin assignment
+    (edge-corrected), so the selected bin center matches to f32/f64 eps."""
     for _ in range(5):
         img = synthetic_knee(rng)
         v = img - img.min()
         v = v / v.max()
         got = float(otsu_threshold(jnp.asarray(v)))
         expect = np_otsu(v)
-        assert abs(got - expect) < 1.5 / 256, (got, expect)
+        assert abs(got - expect) < 1e-6, (got, expect)
 
 
 def test_morphology_matches_scipy_with_skimage_borders(rng):
@@ -92,14 +94,30 @@ def test_remove_small_objects_matches_skimage_semantics(rng):
 
 
 def test_body_mask_parity_on_synthetic_slices(rng):
+    """EXACT equality against the scipy-morphology oracle — the body mask
+    is the Dice-critical target function, no mismatch budget."""
     for _ in range(4):
         img = synthetic_knee(rng)
         got = np.asarray(body_mask(jnp.asarray(img)))
         expect = np_body_mask(img)
-        # Otsu bin-center quantization can flip isolated threshold-straddling
-        # pixels; require near-exact agreement.
-        diff = (got != expect).mean()
-        assert diff < 0.002, f"body mask mismatch fraction {diff}"
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_body_mask_matches_frozen_goldens():
+    """Frozen fixtures (tests/goldens/preprocess_goldens.npz, generated with
+    real scipy.ndimage morphology/labeling + the documented skimage Otsu
+    algorithm) pin the mask function against both implementation AND oracle
+    drift. Regenerate only with tests/make_goldens.py."""
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "goldens"
+                / "preprocess_goldens.npz")
+    for i in range(8):
+        got = np.asarray(body_mask(jnp.asarray(z[f"img_{i}"])))
+        np.testing.assert_array_equal(got, z[f"mask_{i}"])
+        v = z[f"img_{i}"] - z[f"img_{i}"].min()
+        v = v / v.max()
+        th = float(otsu_threshold(jnp.asarray(v)))
+        assert abs(th - float(z[f"otsu_{i}"])) < 1e-6
 
 
 def test_body_mask_constant_image_is_empty():
