@@ -132,14 +132,14 @@ class SliceStore:
         nbr = self.neighbor_table(k)
         if mesh is not None and shard:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            axis = mesh.axis_names[0]
-            parts = mesh.shape[axis]
+            axes = tuple(mesh.axis_names)   # row-shard over ALL mesh axes
+            parts = int(np.prod([mesh.shape[a] for a in axes]))
             pad = (-n) % parts
             if pad:
                 images = np.concatenate([images, images[-1:].repeat(pad, 0)])
                 masks = np.concatenate([masks, masks[-1:].repeat(pad, 0)])
                 nbr = np.concatenate([nbr, nbr[-1:].repeat(pad, 0)])
-            row = NamedSharding(mesh, P(axis))
+            row = NamedSharding(mesh, P(axes))
             put = lambda x: jax.device_put(x, row)
         elif device:
             put = lambda x: jax.device_put(x, device)

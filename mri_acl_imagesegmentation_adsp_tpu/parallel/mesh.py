@@ -18,7 +18,7 @@ DistributedMetricSum for metrics. The TPU-native equivalents here:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -31,6 +31,70 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if len(devs) < n:
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) path — SURVEY.md §2.2/§5.8: jax.distributed.initialize +
+# a process-aware mesh whose outer axis crosses hosts (collectives on it ride
+# DCN) and whose inner axis stays within each host's ICI domain.
+# ---------------------------------------------------------------------------
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Flag-gated multi-host runtime init.
+
+    No-op (returns False) unless num_processes > 1 — single-host runs never
+    touch jax.distributed. Arguments default to the JAX_* environment
+    (coordinator from JAX_COORDINATOR_ADDRESS etc.), matching how a pod
+    launcher provisions processes. Returns True once initialized.
+    """
+    import os
+    if num_processes is None:
+        env = os.getenv("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if not num_processes or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
+def host_major_grid(devices: Sequence, num_hosts: int) -> np.ndarray:
+    """(num_hosts, devices_per_host) grid of devices, host-major.
+
+    Pure assignment math (unit-testable without hardware): devices are
+    ordered by (process_index, id) so each ROW is one host's local devices.
+    A Mesh built on this grid puts the outer axis across hosts (DCN) and
+    the inner axis within a host (ICI) — the layout jax's
+    create_hybrid_device_mesh produces for 1-D-per-domain meshes.
+    """
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+    if len(devs) % num_hosts:
+        raise ValueError(
+            f"{len(devs)} devices do not split over {num_hosts} hosts")
+    per_host = len(devs) // num_hosts
+    grid = np.empty((num_hosts, per_host), dtype=object)
+    for i, d in enumerate(devs):
+        row = i // per_host
+        if d.process_index != devs[row * per_host].process_index:
+            raise ValueError("devices of one host are not contiguous; "
+                             "uneven per-host device counts are unsupported")
+        grid[row, i % per_host] = d
+    return grid
+
+
+def make_multihost_mesh(axes: Tuple[str, str] = ("hosts", "data")) -> Mesh:
+    """2-D (hosts, data) mesh over all global devices.
+
+    Shard batches over BOTH axes (``P(("hosts", "data"))``) for pure data
+    parallelism — gradient psums then reduce hierarchically: within-host
+    partials over ICI, one cross-host combine over DCN.
+    """
+    devs = jax.devices()
+    num_hosts = max(d.process_index for d in devs) + 1
+    return Mesh(host_major_grid(devs, num_hosts), axes)
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

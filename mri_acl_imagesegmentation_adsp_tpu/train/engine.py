@@ -25,7 +25,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import (Any, Callable, Dict, NamedTuple, Optional, Sequence,
+                    Tuple)
 
 import numpy as np
 import jax
@@ -93,14 +94,19 @@ class Engine:
         # applied to x AFTER augmentation (reference order: datasets.py:128-131
         # normalizes after the albumentations pipeline), e.g. imagenet norm
         self.input_transform = input_transform or (lambda x: x)
+        # batch sharding spans EVERY mesh axis (1-D ("data",) meshes and
+        # 2-D ("hosts", "data") multi-host meshes alike)
+        self._batch_axes = tuple(mesh.axis_names) if mesh is not None else None
         self._data_sharding = (
-            NamedSharding(mesh, P("data")) if mesh is not None else None)
+            NamedSharding(mesh, P(self._batch_axes))
+            if mesh is not None else None)
         donate_args = (0,) if donate else ()
         self._train_epoch_c = jax.jit(
             self._train_epoch, static_argnames=("batch_size",),
             donate_argnums=donate_args)
         self._eval_batches_c = jax.jit(self._eval_batches,
                                        static_argnames=("batch_size",))
+        self._eval_per_slice_c = jax.jit(self._eval_per_slice)
         self._predict_c = jax.jit(self._predict)
 
     # ------------------------------------------------------------------
@@ -125,9 +131,10 @@ class Engine:
     def _shard_batch(self, x, y):
         if self._data_sharding is not None:
             x = lax.with_sharding_constraint(
-                x, NamedSharding(self.mesh, P("data", None, None, None)))
+                x, NamedSharding(self.mesh,
+                                 P(self._batch_axes, None, None, None)))
             y = lax.with_sharding_constraint(
-                y, NamedSharding(self.mesh, P("data", None, None)))
+                y, NamedSharding(self.mesh, P(self._batch_axes, None, None)))
         return x, y
 
     def _loss_from_logits(self, logits_nhwc, y):
@@ -211,6 +218,34 @@ class Engine:
         _, out = lax.scan(body, None, idx_mat)
         return out
 
+    def _eval_per_slice(self, params, batch_stats, images, masks, neighbors,
+                        idx_mat):
+        """Per-SLICE dice/iou over fixed-size index batches (binary only).
+
+        Unlike _eval_batches (batch-global metrics, the in-loop reference
+        semantics), this returns one dice/iou per slice so a volume-affine
+        sharded evaluation can dedup padded duplicates by slice id before
+        aggregating (the vendored MriModule dedup contract,
+        zip!DL_reconstruction/pl_modules/mri_module.py:161-233).
+        """
+        def body(_, idx):
+            x, y = gather_batch(images, masks, neighbors, idx)
+            x, y = self._shard_batch(x, y)
+            x = self.input_transform(x)
+            logits = self._apply_eval(params, batch_stats, x)
+            preds = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+            m = y.astype(jnp.float32)
+            dims = (1, 2)
+            inter = jnp.sum(preds * m, axis=dims)
+            dice = (2.0 * inter + 1e-7) / (
+                jnp.sum(preds, dims) + jnp.sum(m, dims) + 1e-7)
+            iou = (inter + 1e-7) / (
+                jnp.sum(preds + m - preds * m, dims) + 1e-7)
+            return None, (dice, iou)
+
+        _, out = lax.scan(body, None, idx_mat)
+        return out
+
     def _predict(self, params, batch_stats, x):
         """Probabilities for a batch (sigmoid / softmax over channel)."""
         x = self.input_transform(x)
@@ -274,6 +309,50 @@ class Engine:
         md = float(np.mean(dices)) if (dices and self.classes == 1) else 0.0
         mi = float(np.mean(ious)) if (ious and self.classes == 1) else 0.0
         return vloss, md, mi
+
+    def validate_volume_sharded(self, state: TrainState,
+                                store: DeviceSliceStore,
+                                vol_sizes: Sequence[int], n_shards: int,
+                                batch_size: int
+                                ) -> Tuple[float, float, np.ndarray]:
+        """Volume-affine sharded validation (binary segmentation).
+
+        The VolumeSampler contract (SURVEY.md §2.2, displacing
+        zip!DL_reconstruction/data/volume_sampler.py:16-113): whole volumes
+        are assigned to shards with pad-to-max duplication, every shard
+        evaluates its slice list, and the padded duplicates are removed at
+        aggregation by slice id (the vendored per-(fname,slice) dedup).
+        Returns (mean dice over volumes, mean iou over volumes,
+        per-volume dice array).
+        """
+        from ..parallel import volume_affine_shards
+
+        dice_by_slice: Dict[int, float] = {}
+        iou_by_slice: Dict[int, float] = {}
+        for shard in volume_affine_shards(vol_sizes, n_shards):
+            arr = np.asarray(shard, np.int64)
+            pad = (-len(arr)) % batch_size
+            padded = np.concatenate([arr, arr[:pad]]) if pad else arr
+            idx_mat = jnp.asarray(
+                padded.reshape(-1, batch_size).astype(np.int32))
+            d, i = self._eval_per_slice_c(
+                state.params, state.batch_stats, store.images, store.masks,
+                store.neighbors, idx_mat)
+            d, i = np.asarray(d).ravel(), np.asarray(i).ravel()
+            for j, s in enumerate(padded):       # duplicates just overwrite
+                dice_by_slice[int(s)] = float(d[j])
+                iou_by_slice[int(s)] = float(i[j])
+
+        vol_of = np.repeat(np.arange(len(vol_sizes)), vol_sizes)
+        n = int(vol_of.shape[0])
+        assert len(dice_by_slice) == n, "sharded eval missed slices"
+        dice = np.asarray([dice_by_slice[s] for s in range(n)])
+        iou = np.asarray([iou_by_slice[s] for s in range(n)])
+        per_vol = np.asarray([dice[vol_of == v].mean()
+                              for v in range(len(vol_sizes))])
+        per_vol_iou = np.asarray([iou[vol_of == v].mean()
+                                  for v in range(len(vol_sizes))])
+        return float(per_vol.mean()), float(per_vol_iou.mean()), per_vol
 
     def predict_probs(self, state: TrainState, x_nhwc: jnp.ndarray) -> np.ndarray:
         """(B,H,W,C_in) -> (B,C,H,W) probabilities on host."""

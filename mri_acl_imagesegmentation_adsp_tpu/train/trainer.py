@@ -85,6 +85,7 @@ class UNet2DArgs:
     save_resume_every: int = 0               # epochs between resume snapshots
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
     store_sharded: bool = False              # shard slice store over the mesh
+    multihost: bool = False                  # jax.distributed multi-host (DCN)
 
 
 class UNet2DTrainer:
@@ -99,7 +100,15 @@ class UNet2DTrainer:
         self.rng = jax.random.PRNGKey(args.seed)
 
         self.mesh = None
-        if args.data_parallel > 1:
+        if args.multihost:
+            # Multi-host DCN path (SURVEY.md §5.8): initialize the
+            # distributed runtime from the JAX_* environment (no-op on one
+            # process), then mesh ALL global devices host-major — outer
+            # axis across hosts (DCN), inner within each host (ICI).
+            from ..parallel import distributed_init, make_multihost_mesh
+            distributed_init()
+            self.mesh = make_multihost_mesh(axes=("hosts", "data"))
+        elif args.data_parallel > 1:
             devs = jax.devices()[: args.data_parallel]
             if len(devs) < args.data_parallel:
                 raise ValueError(

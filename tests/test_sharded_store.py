@@ -1,0 +1,207 @@
+"""Sharded data-parallel path tests (8 virtual devices, see conftest).
+
+Covers the two VERDICT-r1 gaps:
+  * ``store_sharded=True`` — the row-sharded HBM slice store must train and
+    validate to the SAME numbers as the replicated store (uneven volume
+    sizes, k=3 neighbor gathers crossing shard boundaries, padded rows).
+  * volume-affine sharded eval (``Engine.validate_volume_sharded`` over
+    ``parallel.volume_affine_shards``) — pad-to-max duplicates must dedup
+    away, reproducing the unsharded per-volume metrics exactly
+    (the VolumeSampler + MriModule-dedup contract, SURVEY.md §2.2).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import (
+    SliceStore, epoch_permutation)
+from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+from mri_acl_imagesegmentation_adsp_tpu.parallel import (
+    make_mesh, volume_affine_shards)
+from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+    Engine, make_optimizer)
+from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
+
+
+def _uneven_store(rng, sizes=(5, 3, 7, 7), h=32, w=32) -> SliceStore:
+    """Uneven volume sizes, total (22) NOT a multiple of 8 -> to_device
+    pads the sharded arrays; k=3 neighbors cross shard rows."""
+    n = int(sum(sizes))
+    imgs = rng.standard_normal((n, h, w)).astype(np.float32)
+    # blob masks so dice is informative
+    yy, xx = np.mgrid[:h, :w]
+    msks = np.stack([(yy - (8 + i % 16)) ** 2 + (xx - 16) ** 2 < 100
+                     for i in range(n)]).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return SliceStore(images=imgs, masks=msks,
+                      vol_starts=np.asarray(starts, np.int64),
+                      vol_sizes=np.asarray(sizes, np.int64),
+                      files=[f"v{i}" for i in range(len(sizes))])
+
+
+def _engine(mesh):
+    model = build_unet("unet", "resnet18", "none", in_ch=3, classes=1)
+    return Engine(model, LossManager(classes=1, name="dice_bce"),
+                  make_optimizer(1e-3, 1e-4, 5.0), classes=1, aug="light",
+                  mesh=mesh)
+
+
+@pytest.mark.slow
+def test_sharded_store_matches_replicated(rng):
+    """Training + validation with store_sharded=True must equal the
+    replicated store bit-for-bit (same seeds, same math, gathers ride the
+    sharded rows)."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    host = _uneven_store(rng)
+    n = len(host)
+    assert n % 8 != 0, "want a padding-exercising size"
+
+    results = []
+    for shard in (False, True):
+        store = host.to_device(k=3, mesh=mesh, shard=shard)
+        if shard:
+            # padded to a multiple of the axis size and row-sharded
+            assert store.images.shape[0] % 8 == 0
+            assert store.images.shape[0] > n
+        engine = _engine(mesh)
+        state = engine.init_state(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 3), jnp.float32))
+        perm = epoch_permutation(jax.random.PRNGKey(1), n, 8)
+        state, losses, avg = engine.train_one_epoch(
+            state, store, perm, jax.random.PRNGKey(2), dataset_len=n)
+        vloss, vdice, viou = engine.validate(state, store, batch_size=8)
+        results.append((np.asarray(losses), avg, vloss, vdice, viou))
+
+    (l0, a0, vl0, vd0, vi0), (l1, a1, vl1, vd1, vi1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-6)
+    assert abs(a0 - a1) < 1e-6 and abs(vl0 - vl1) < 1e-6
+    assert abs(vd0 - vd1) < 1e-6 and abs(vi0 - vi1) < 1e-6
+
+
+def test_sharded_validate_ignores_padding_rows(rng):
+    """validate() on a sharded store must only see [0, num_slices) — the
+    repeat-padded rows cannot leak into the metrics."""
+    mesh = make_mesh(8)
+    host = _uneven_store(rng, sizes=(4, 3))          # 7 slices -> pad 1
+    engine = _engine(mesh)
+    state = engine.init_state(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3), jnp.float32))
+    sharded = host.to_device(k=3, mesh=mesh, shard=True)
+    plain = host.to_device(k=3)
+    assert sharded.num_slices == plain.num_slices == 7
+    a = engine.validate(state, sharded, batch_size=4)
+    b = engine.validate(state, plain, batch_size=4)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_volume_affine_sharded_eval_dedups(rng):
+    """End-to-end VolumeSampler contract: shard volumes (pad-to-max), eval
+    per shard, dedup by slice id -> identical per-volume dice to the
+    unsharded per-slice evaluation."""
+    mesh = make_mesh(8)
+    host = _uneven_store(rng, sizes=(9, 2, 6, 4))
+    store = host.to_device(k=3, mesh=mesh, shard=True)
+    engine = _engine(mesh)
+    state = engine.init_state(jax.random.PRNGKey(3),
+                              jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+    shards = volume_affine_shards(host.vol_sizes, 3)
+    lens = {len(s) for s in shards}
+    assert len(lens) == 1, "shards must be padded to equal length"
+    assert sum(host.vol_sizes) < len(shards) * len(shards[0]), \
+        "want actual pad duplicates in this fixture"
+
+    dice, iou, per_vol = engine.validate_volume_sharded(
+        state, store, host.vol_sizes, n_shards=3, batch_size=4)
+
+    # unsharded oracle: per-slice dice via the same jitted kernel on the
+    # identity index list, aggregated per volume
+    n = len(host)
+    idx_mat = jnp.arange(n, dtype=jnp.int32).reshape(n, 1)
+    d_ref, _ = engine._eval_per_slice_c(
+        state.params, state.batch_stats, store.images, store.masks,
+        store.neighbors, idx_mat)
+    d_ref = np.asarray(d_ref).ravel()
+    vol_of = np.repeat(np.arange(len(host.vol_sizes)), host.vol_sizes)
+    ref_per_vol = np.asarray([d_ref[vol_of == v].mean()
+                              for v in range(len(host.vol_sizes))])
+    np.testing.assert_allclose(per_vol, ref_per_vol, rtol=1e-5, atol=1e-6)
+    assert abs(dice - ref_per_vol.mean()) < 1e-6
+    assert 0.0 <= iou <= 1.0
+
+
+def test_volume_affine_shards_cover_all_slices():
+    """Every slice appears on exactly one shard (before padding)."""
+    sizes = [5, 1, 7, 3, 2]
+    shards = volume_affine_shards(sizes, 4)
+    seen = np.concatenate(shards)
+    # dedup: padded entries are repeats of the shard's own slices
+    assert set(seen.tolist()) == set(range(sum(sizes)))
+    # volume-affine: all slices of one volume stay on one shard
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    for v, (s0, sz) in enumerate(zip(starts, sizes)):
+        owners = {i for i, sh in enumerate(shards)
+                  if set(range(s0, s0 + sz)) & set(sh.tolist())}
+        assert len(owners) == 1, f"volume {v} split across shards"
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) path — flag-gated wiring + mesh math (SURVEY.md §5.8)
+# ---------------------------------------------------------------------------
+
+def test_host_major_grid_math():
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import host_major_grid
+
+    class D:
+        def __init__(self, pi, i):
+            self.process_index, self.id = pi, i
+
+    devs = [D(2, 1), D(0, 0), D(1, 1), D(0, 1), D(2, 0), D(1, 0)]
+    grid = host_major_grid(devs, 3)
+    assert grid.shape == (3, 2)
+    for row in range(3):
+        assert {d.process_index for d in grid[row]} == {row}
+        assert [d.id for d in grid[row]] == [0, 1]
+    with pytest.raises(ValueError):
+        host_major_grid(devs, 4)  # 6 devices don't split over 4 hosts
+
+
+def test_distributed_init_is_gated(monkeypatch):
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import distributed_init
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed_init() is False          # no env -> no-op
+    assert distributed_init(num_processes=1) is False
+
+
+@pytest.mark.slow
+def test_multihost_mesh_trains_on_single_host(rng):
+    """hosts=1 degenerate multi-host mesh: the 2-D ("hosts","data") path
+    must compile and match the 1-D data mesh numerically."""
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import (
+        make_multihost_mesh)
+    mesh2d = make_multihost_mesh()
+    assert mesh2d.axis_names == ("hosts", "data")
+    assert mesh2d.devices.shape == (1, 8)
+
+    host = _uneven_store(rng, sizes=(4, 4))
+    n = len(host)
+    out = []
+    for mesh in (mesh2d, make_mesh(8)):
+        store = host.to_device(k=1, mesh=mesh, shard=True)
+        engine = _engine_k1(mesh)
+        state = engine.init_state(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 1), jnp.float32))
+        perm = epoch_permutation(jax.random.PRNGKey(1), n, 8)
+        state, losses, _ = engine.train_one_epoch(
+            state, store, perm, jax.random.PRNGKey(2), dataset_len=n)
+        out.append(np.asarray(losses))
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-5, atol=1e-6)
+
+
+def _engine_k1(mesh):
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    return Engine(model, LossManager(classes=1, name="dice_bce"),
+                  make_optimizer(1e-3, 1e-4, 5.0), classes=1, aug="light",
+                  mesh=mesh)
