@@ -14,6 +14,8 @@ from mri_acl_imagesegmentation_adsp_tpu.models.convnext import (
     ConvNeXt, ConvNext_model,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_convnext_shapes_and_factory():
     import jax, jax.numpy as jnp

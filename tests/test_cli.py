@@ -39,6 +39,7 @@ def test_launcher_help_runs():
         assert flag in out.stdout
 
 
+@pytest.mark.slow
 def test_infer_cli_end_to_end(tmp_path, rng):
     """Train a tiny model via the trainer, then run the infer CLI on it."""
     from types import SimpleNamespace

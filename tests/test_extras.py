@@ -81,6 +81,7 @@ def test_generate_split_cli(tmp_path, rng, monkeypatch):
     assert (tmp_path / "lists2" / "train.txt").read_text() == "\n".join(train)
 
 
+@pytest.mark.slow
 def test_unet_recon_trainer_smoke(tmp_path, rng):
     from mri_acl_imagesegmentation_adsp_tpu.train.unet_recon_trainer import (
         UnetReconArgs, UnetReconTrainer, unet_transform)

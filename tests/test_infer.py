@@ -1,4 +1,5 @@
 """Tests for volume inference + report metrics facade."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,8 @@ from mri_acl_imagesegmentation_adsp_tpu.infer import (
 from mri_acl_imagesegmentation_adsp_tpu.metrics import (
     dice_bin, iou_bin, hd95, assd,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_segment_volume_2d_shapes_and_25d(rng):

@@ -28,6 +28,7 @@ def test_json_logger_fields_and_extras(tmp_path, capsys):
     assert len(again.handlers) == len(log.handlers)
 
 
+@pytest.mark.slow
 def test_training_is_deterministic_given_seed(tmp_path, rng):
     """Same seed -> bit-identical history (the reference pinned cudnn
     determinism, train_unet.py:33-40; here determinism is structural)."""

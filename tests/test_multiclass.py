@@ -1,9 +1,12 @@
 """Multiclass (classes>1) training path e2e — dice_ce loss, argmax samples,
 best-by-negative-val-loss selection (reference train_unet.py:221-222)."""
+import pytest
 import json
 from pathlib import Path
 
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def test_multiclass_training_end_to_end(tmp_path, rng):

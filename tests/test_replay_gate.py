@@ -1,0 +1,47 @@
+"""Dry run of the real-data Dice-parity replay gate (VERDICT-r1 item 7).
+
+The gate replays /root/reference/runs/fastmri_unet/args.json through the
+launcher; here it runs on synthetic volumes (the deterministic body-mask
+task transfers, SURVEY.md §0) with a reduced epoch count and a threshold
+suited to the tiny corpus. On real data the gate is invoked without
+--synthetic and asserts Dice >= 0.97.
+"""
+import json
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_replay_gate_synthetic_dry_run(tmp_path, monkeypatch):
+    from mri_acl_imagesegmentation_adsp_tpu.cli.replay_gate import main
+
+    monkeypatch.chdir(tmp_path)
+    # tiny corpus + reference batch size 8 -> few steps/epoch; the dry run
+    # only asserts the gate machinery + that the mask is being learned
+    # (the REAL gate keeps min-dice 0.97 over 973 volumes)
+    rc = main(["--synthetic", "5", "--epochs", "8",
+               "--work-dir", str(tmp_path / "gate"),
+               "--min-dice", "0.7"])
+    assert rc == 0
+    summary = json.loads((tmp_path / "gate" / "run" /
+                          "summary.json").read_text())
+    assert summary["best"]["val_dice"] >= 0.7
+    # the replayed config must carry the reference hyperparameters
+    args = json.loads((tmp_path / "gate" / "run" / "args.json").read_text())
+    ref = json.loads(Path(
+        "/root/reference/runs/fastmri_unet/args.json").read_text())
+    for key in ("k", "aug", "model", "encoder", "loss", "lr", "seed",
+                "batch_size", "max_grad_norm"):
+        assert args[key] == ref[key], key
+
+
+def test_replay_gate_fails_below_bar(tmp_path, monkeypatch):
+    from mri_acl_imagesegmentation_adsp_tpu.cli.replay_gate import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--synthetic", "2", "--epochs", "1",
+               "--work-dir", str(tmp_path / "gate"),
+               "--min-dice", "0.9999"])
+    assert rc == 1

@@ -18,6 +18,8 @@ from mri_acl_imagesegmentation_adsp_tpu.data.packer import build_preprocess
 from mri_acl_imagesegmentation_adsp_tpu.train.trainer import UNet2DArgs, UNet2DTrainer
 from mri_acl_imagesegmentation_adsp_tpu.train.schedule import ReduceLROnPlateau
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def artifact_lists(tmp_path_factory):

@@ -8,6 +8,8 @@ from mri_acl_imagesegmentation_adsp_tpu.train.trainer3d import (
     KneeNPZ3D, UNet3DArgs, UNet3DTrainer,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def packs3d(tmp_path, rng):

@@ -1,5 +1,6 @@
 """Tests for VarNet, SSIM loss, and recon evaluation metrics."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -50,6 +51,7 @@ def test_sens_reduce_expand_adjointness(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_varnet_forward_shapes_and_grad(rng):
     model = VarNet(bvalue="b50", num_cascades=2, sens_chans=4, sens_pools=2,
                    chans=4, pools=2)

@@ -12,6 +12,8 @@ from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
 )
 from mri_acl_imagesegmentation_adsp_tpu.train.early_stopping import EarlyStopping
 
+pytestmark = pytest.mark.slow
+
 
 def test_transforms_roundtrip_and_crops(rng):
     c = (rng.standard_normal((4, 6, 6))
