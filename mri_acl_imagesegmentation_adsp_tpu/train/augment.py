@@ -156,6 +156,67 @@ def _warp_one(img: jnp.ndarray, mask: jnp.ndarray, p, h: int, w: int,
     return img_out, mask_out
 
 
+def _hat(d: jnp.ndarray) -> jnp.ndarray:
+    """Linear-interpolation kernel: weight 1 at 0, 0 beyond +-1 px."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
+                          h: int, w: int):
+    """Two-pass separable affine warp as MXU matmuls — NO gathers.
+
+    The inverse map sy = A·y + B·x + C, sx = D·y + E·x + F factors
+    (Catmull–Smith) into a row pass mid[v, x] = in[v, G·v + H·x + K]
+    followed by a column pass out[y, x] = mid[sy(y, x), x]. Each pass is a
+    per-line 1-D linear resample, i.e. a contraction with a banded
+    (out, in) interpolation matrix built by pure broadcasting and fed to
+    the MXU in bf16 with f32 accumulation. This replaces the per-pixel
+    payload gather (index-bound: ~65 ms per 320² batch-32 on v5e) with
+    streaming matmul work. Off-image samples get weight 0 on every input
+    line, reproducing the border-constant-0 fill. The factorization
+    divides by A = cos(angle)/scale — safe for the recipes' <=15° ranges.
+
+    The mask rides the payload as an extra bilinear channel and
+    re-binarizes at 0.5 (majority resampling — keeps masks exactly binary;
+    the reference's nearest rule agrees except on sub-pixel blob edges).
+    """
+    to_b = lambda a: a.astype(jnp.float32)[:, None, None]
+    cos, sin = jnp.cos(-p.angle), jnp.sin(-p.angle)
+    inv_s = 1.0 / p.scale
+    A, B = cos * inv_s, sin * inv_s
+    D, E = -sin * inv_s, cos * inv_s
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    oy = cy + p.shift_y * h
+    ox = cx + p.shift_x * w
+    C = cy - A * oy - B * ox
+    F = cx - D * oy - E * ox
+    G = D / A
+    Hc = E - D * B / A
+    K = F - D * C / A
+
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    payload = jnp.concatenate([x, y[..., None].astype(x.dtype)], axis=-1)
+
+    # pass 1: every input row v resamples along x at G·v + H·x + K
+    pos1 = to_b(G) * rows[None, :, None] + to_b(Hc) * cols[None, None, :] \
+        + to_b(K)                                        # (B, V, Xo)
+    t1 = _hat(pos1[..., None] - cols).astype(jnp.bfloat16)  # (B, V, Xo, Xi)
+    mid = jnp.einsum("bvoi,bvic->bvoc", t1, payload.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+
+    # pass 2: every output column x resamples along y at A·y + B·x + C
+    pos2 = to_b(A) * rows[None, :, None] + to_b(B) * cols[None, None, :] \
+        + to_b(C)                                        # (B, Yo, X)
+    t2 = _hat(jnp.swapaxes(pos2, 1, 2)[..., None] - rows
+              ).astype(jnp.bfloat16)                     # (B, X, Yo, V)
+    out = jnp.einsum("bxov,bvxc->boxc", t2, mid.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+
+    c = x.shape[-1]
+    return out[..., :c].astype(x.dtype), (out[..., c] > 0.5).astype(y.dtype)
+
+
 def augment_batch(x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
                   recipe: str):
     """Augment a batch: x (B,H,W,C) float, y (B,H,W) int. Returns same shapes."""
@@ -171,10 +232,18 @@ def augment_batch(x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
     y = jnp.where(params.vflip[:, None, None], y[:, ::-1, :], y)
 
     elastic = _RECIPES.get(recipe, {}).get("elastic_p", 0.0) > 0
+    if elastic:
+        # elastic displacement fields are not affine-separable: keep the
+        # gather-based warp for the heavy recipe
+        def one(img, msk, *leaf_params):
+            return _warp_one(img, msk, AugParams(*leaf_params), h, w,
+                             elastic=True)
+        return jax.vmap(one)(x, y, *params)
 
-    def one(img, msk, *leaf_params):
-        return _warp_one(img, msk, AugParams(*leaf_params), h, w,
-                         elastic=elastic)
-
-    x, y = jax.vmap(one)(x, y, *params)
+    # light/medium: gather-free separable warp, gated per sample so
+    # SSR-skipped samples stay bit-exact identities
+    xw, yw = _warp_batch_separable(x, y, params, h, w)
+    gate = params.apply_ssr
+    x = jnp.where(gate[:, None, None, None], xw, x)
+    y = jnp.where(gate[:, None, None], yw, y)
     return x, y

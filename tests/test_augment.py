@@ -65,3 +65,53 @@ def test_hflip_only_is_exact_reverse(rng):
             assert any(np.array_equal(y2_np[i], m) for m in m_cands)
     # ~half the batch skips SSR (p=.5); all of those must be exact
     assert ok > 10
+
+
+def test_separable_warp_matches_gather_warp(rng):
+    """The two-pass matmul warp must reproduce the gather-based bilinear
+    warp (interior pixels; bf16 interpolation weights -> loose atol)."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.augment import (
+        _warp_batch_separable, _warp_one)
+
+    from scipy.ndimage import gaussian_filter
+
+    b, h, w, c = 4, 48, 40, 2
+    # smooth images: the two discretizations (two-pass line resampling vs
+    # direct 2-D bilinear) agree to O(shear * gradient); on white noise
+    # they legitimately differ by O(1)
+    x_np = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    x_np = gaussian_filter(x_np, sigma=(0, 2.0, 2.0, 0)).astype(np.float32)
+    x_np *= 4.0  # keep O(1) dynamic range after smoothing
+    x = jnp.asarray(x_np)
+    yy, xx = np.mgrid[:h, :w]
+    msk = np.stack([((yy - 20 - i) ** 2 + (xx - 20) ** 2 < 130).astype(np.int32)
+                    for i in range(b)])
+    y = jnp.asarray(msk)
+    p = sample_params(jax.random.PRNGKey(5), b, "medium")
+    p = p._replace(apply_ssr=jnp.ones((b,), bool))
+
+    xs, ys = _warp_batch_separable(x, y, p, h, w)
+    xg, yg = jax.vmap(
+        lambda img, m, *lp: _warp_one(img, m, type(p)(*lp), h, w))(x, y, *p)
+
+    xs, ys, xg, yg = map(np.asarray, (xs, ys, xg, yg))
+    # compare only where the SOURCE position is safely inside the image
+    # (the two implementations treat off-image sources differently:
+    # hard zero vs fading interpolation weights)
+    pn = {k: np.asarray(v) for k, v in p._asdict().items()}
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    for i in range(b):
+        dy = yy - cy - pn["shift_y"][i] * h
+        dx = xx - cx - pn["shift_x"][i] * w
+        cos, sin = np.cos(-pn["angle"][i]), np.sin(-pn["angle"][i])
+        inv_s = 1.0 / pn["scale"][i]
+        sy = (sin * dx + cos * dy) * inv_s + cy
+        sx = (cos * dx - sin * dy) * inv_s + cx
+        inside = ((sy > 1.5) & (sy < h - 2.5) & (sx > 1.5) & (sx < w - 2.5))
+        err = np.abs(xs[i] - xg[i]).max(axis=-1)[inside]
+        assert err.max() < 0.05, err.max()
+        # masks: majority vs nearest agree except on sub-pixel straddles
+        disagree = (ys[i] != yg[i])[inside].mean()
+        assert disagree < 0.02, disagree
+    assert set(np.unique(ys)).issubset({0, 1})
