@@ -184,7 +184,8 @@ def build_parser() -> argparse.ArgumentParser:
     train.add_argument("--imagenet-norm", action="store_true")
     train.add_argument("--k", type=int, default=1)
     train.add_argument("--classes", type=int, default=1)
-    train.add_argument("--logger", default="csv", choices=["noop", "csv"])
+    train.add_argument("--logger", default="csv",
+                       choices=["noop", "csv", "tb", "csv+tb"])
     train.add_argument("--save-val-probs", action="store_true")
     train.add_argument("--max-grad-norm", type=float, default=5.0)
     train.add_argument("--seed", type=int, default=2024)

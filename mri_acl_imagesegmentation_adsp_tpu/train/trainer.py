@@ -135,6 +135,20 @@ class UNet2DTrainer:
 
     # ------------------------------------------------------------------
 
+    def _log_val_images(self, epoch: int) -> None:
+        """Validation predictions to the TB channel when one is attached
+        (vendored MriModule val-image logging, mri_module.py:150-151)."""
+        if not hasattr(self.logger, "log_images"):
+            return
+        import numpy as np
+        from ..data.hbm_loader import gather_batch
+        take = min(4, self.val_store.num_slices)
+        idx = jnp.arange(take, dtype=jnp.int32)
+        x, _ = gather_batch(self.val_store.images, self.val_store.masks,
+                            self.val_store.neighbors, idx)
+        probs = self.engine.predict_probs(self.state, x)   # (B, C, H, W)
+        self.logger.log_images("val/pred", np.clip(probs[:, 0], 0, 1), epoch)
+
     def _dump_config(self) -> None:
         with (self.out_dir / "args.json").open("w", encoding="utf-8") as f:
             json.dump(asdict(self.args), f, indent=2)
@@ -314,7 +328,7 @@ class UNet2DTrainer:
                 self.state, self.train_store, perm, aug_key, n_train)
             if profiling:
                 jax.profiler.stop_trace()
-            if isinstance(self.logger, CSVLoggerAdapter):
+            if hasattr(self.logger, "log_steps"):
                 self.logger.log_steps(start_step=self.global_step, epoch=ep,
                                       lr=lr_now, losses=step_losses)
             self.global_step += len(step_losses)
@@ -353,6 +367,7 @@ class UNet2DTrainer:
             if ep == 1 or ep % 5 == 0:
                 self.engine.save_samples(self.state, self.val_store,
                                          str(self.out_dir), max_samples=6)
+                self._log_val_images(ep)
             if a.save_resume_every and ep % a.save_resume_every == 0:
                 self._save_resume(ep)
 

@@ -74,3 +74,30 @@ def test_non_finite_loss_guard_names_step(tmp_path, rng):
                       aug="none")
     with pytest.raises(RuntimeError, match="Non-finite loss at step"):
         UNet2DTrainer(args).run()
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    """TB channel (vendored MriModule parity): scalars + images land in an
+    event file that TensorBoard's own reader parses back."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.loggers import make_logger
+
+    lg = make_logger("csv+tb", str(tmp_path))
+    lg.log_steps(start_step=0, epoch=1, lr=1e-3, losses=[0.5, 0.4])
+    lg.log_epoch(epoch=1, time_s=1.0, train_loss=0.45, val_loss=0.5,
+                 val_dice=0.9, val_iou=0.8, lr=1e-3)
+    lg.log_images("val/pred", np.random.rand(2, 8, 8).astype(np.float32), 1)
+    lg.log_meta({"run": "test"})
+    lg.close()
+    # csv side still produced the reference artifacts
+    assert (tmp_path / "history_epoch.csv").exists()
+    assert (tmp_path / "history_step.csv").exists()
+    # tb side: parse the event file back
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    run = next((tmp_path / "tb").iterdir())
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    tags = acc.Tags()
+    assert "val/dice" in tags["scalars"]
+    assert any(t.startswith("val/pred") for t in tags["images"])
+    assert acc.Scalars("val/dice")[0].value == np.float32(0.9)
