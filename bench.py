@@ -1,12 +1,18 @@
-"""Benchmark: U-Net inference slices/sec/chip (the BASELINE.json headline).
+"""Benchmark: U-Net inference slices/sec/chip (the BASELINE.json headline)
+plus train-step and GRAPPA extras.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The headline stays the driver contract; "extras" carries
+  - train_slices_per_sec_aug_light / _aug_none — reference-config training
+    (320², batch 8, ResNet34-U-Net, bf16) on the HBM slice store,
+  - grappa_t2_s_per_slice — warm per-slice wall time of the full GRAPPA T2
+    chain (weights + batched hole-fill conv + iFFT/RSS) at the vendored
+    protocol's coil/readout sizes.
 
 Baseline: the reference's committed run sustains ~70 slices/s train-only on
 its RTX 3060 (BASELINE.md, derived from runs/fastmri_unet CSVs; the repo
 publishes no inference number, so the training throughput is the comparison
-point). Config matches the reference benchmark: ResNet34-encoder U-Net,
-320x320 single-channel slices, bf16 compute.
+point).
 
 Complex-free by construction (ops/fftc.py real-pair design) — safe on
 backends without complex/FFT support.
@@ -18,8 +24,6 @@ import time
 from functools import partial
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 REFERENCE_TRAIN_SLICES_PER_SEC = 70.0  # BASELINE.md derived train-only rate
 BATCH = 32
@@ -28,10 +32,7 @@ WARMUP_ITERS = 4
 ITERS = 64
 
 
-def main() -> None:
-    from mri_acl_imagesegmentation_adsp_tpu.utils.compile_cache import (
-        enable_compilation_cache)
-    enable_compilation_cache()
+def bench_inference(jax, jnp) -> float:
     from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
 
     model = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
@@ -58,13 +59,101 @@ def main() -> None:
         out = infer(params, batch_stats, x)
     np.asarray(out)  # block + surface lazy errors
     t1 = time.perf_counter()
+    return BATCH * ITERS / (t1 - t0)
 
-    slices_per_sec = BATCH * ITERS / (t1 - t0)
+
+def bench_train(jax, jnp, aug: str, n: int = 256, batch: int = 8) -> float:
+    """Reference-config train throughput on a synthetic HBM store."""
+    from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import (
+        SliceStore, epoch_permutation)
+    from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+    from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+        Engine, make_optimizer)
+    from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
+
+    h, w = SHAPE
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((n, h, w)).astype(np.float32)
+    yy, xx = np.mgrid[:h, :w]
+    msks = np.stack([((yy - h // 2) ** 2 + (xx - w // 2) ** 2 <
+                      (80 + (i % 40)) ** 2) for i in range(n)]).astype(np.int32)
+    store = SliceStore(
+        images=imgs, masks=msks, vol_starts=np.asarray([0]),
+        vol_sizes=np.asarray([n]), files=["bench"]).to_device(k=1)
+
+    model = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
+                       dtype=jnp.bfloat16)
+    engine = Engine(model, LossManager(classes=1, name="dice_bce"),
+                    make_optimizer(1e-3, 1e-4, 5.0), classes=1, aug=aug)
+    state = engine.init_state(jax.random.PRNGKey(0),
+                              jnp.zeros((1, h, w, 1), jnp.float32))
+    perm = epoch_permutation(jax.random.PRNGKey(1), n, batch)
+    steps = perm.shape[0]
+    # warm (compile)
+    state, losses, _ = engine.train_one_epoch(
+        state, store, perm, jax.random.PRNGKey(2), dataset_len=n)
+    reps = 2
+    t0 = time.perf_counter()
+    for r in range(reps):
+        state, losses, _ = engine.train_one_epoch(
+            state, store, perm, jax.random.PRNGKey(3 + r), dataset_len=n)
+    float(np.asarray(losses)[-1])  # block
+    t1 = time.perf_counter()
+    return reps * steps * batch / (t1 - t0)
+
+
+def bench_grappa(slices: int = 2, coils: int = 16, ro: int = 640,
+                 pe: int = 368) -> float:
+    """Warm per-slice seconds for the full T2 GRAPPA chain (R=3)."""
+    from mri_acl_imagesegmentation_adsp_tpu.recon.t2 import t2_reconstruction
+
+    rng = np.random.default_rng(0)
+
+    def cplx(shape):
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    def case():
+        k = cplx((3, slices, coils, ro, pe))
+        mask = np.zeros(pe, bool)
+        mask[::3] = True
+        k[..., ~mask] = 0
+        return k, cplx((slices, coils, ro, 32))
+
+    k, calib = case()
+    np.asarray(t2_reconstruction(k, calib)["reconstruction_rss"])  # warm
+    k, calib = case()
+    t0 = time.perf_counter()
+    np.asarray(t2_reconstruction(k, calib)["reconstruction_rss"])
+    t1 = time.perf_counter()
+    return (t1 - t0) / slices
+
+
+def main() -> None:
+    from mri_acl_imagesegmentation_adsp_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    slices_per_sec = bench_inference(jax, jnp)
+
+    extras = {}
+    try:
+        extras["train_slices_per_sec_aug_light"] = round(
+            bench_train(jax, jnp, "light"), 2)
+        extras["train_slices_per_sec_aug_none"] = round(
+            bench_train(jax, jnp, "none"), 2)
+        extras["grappa_t2_s_per_slice"] = round(bench_grappa(), 2)
+    except Exception as exc:  # extras must never sink the headline
+        extras["error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps({
         "metric": "unet2d_infer_slices_per_sec_per_chip",
         "value": round(slices_per_sec, 2),
         "unit": "slices/s",
         "vs_baseline": round(slices_per_sec / REFERENCE_TRAIN_SLICES_PER_SEC, 3),
+        "extras": extras,
     }))
 
 
