@@ -45,21 +45,37 @@ def test_nl_means_identity_on_constant():
 
 
 def test_n4_removes_multiplicative_bias(rng):
+    """N4 contract: the multiplicative field WITHIN THE MASK flattens
+    (measured as the CV of corrected/clean, invariant to the global
+    rescale); the pipeline always calls it with the body mask."""
     yy, xx = np.mgrid[:96, :96].astype(np.float32)
-    clean = 1.0 + 0.5 * ((np.hypot(yy - 48, xx - 48) < 30).astype(np.float32))
-    bias = np.exp(0.7 * (xx / 96.0 - 0.5))        # smooth multiplicative field
-    corrupted = clean * bias
-    corrected = np.asarray(n4_bias_correction(jnp.asarray(corrupted)))
+    body = np.hypot(yy - 48, xx - 48) < 42
+    clean = np.where(body, 1.0, 0.05).astype(np.float32)
+    clean[np.hypot(yy - 48, xx - 58) < 15] = 1.5   # tissue class inside
+    for amp in (0.3, 0.7):
+        bias = np.exp(amp * (xx / 96.0 - 0.5)).astype(np.float32)
+        corrupted = clean * bias
+        corrected = np.asarray(n4_bias_correction(
+            jnp.asarray(corrupted), mask=jnp.asarray(body)))
+        rb = (corrupted / clean)[body]
+        ra = (corrected / clean)[body]
+        cv_before = rb.std() / rb.mean()
+        cv_after = ra.std() / ra.mean()
+        assert cv_after < 0.55 * cv_before, (amp, cv_before, cv_after)
+        # intensity range preserved (reference rescale semantics)
+        assert abs(float(corrected.max()) - float(corrupted.max())) < 1e-3
 
-    def lr_imbalance(img):
-        """left/right mean ratio — 1.0 when the field is gone."""
-        return float(img[:, :32].mean() / img[:, -32:].mean())
 
-    before = abs(lr_imbalance(corrupted) - lr_imbalance(clean))
-    after = abs(lr_imbalance(corrected) - lr_imbalance(clean))
-    assert after < 0.5 * before, (before, after)
-    # intensity range preserved (reference rescale semantics)
-    assert abs(float(corrected.max()) - float(corrupted.max())) < 1e-3
+def test_n4_near_noop_on_unbiased_image(rng):
+    """No bias in -> (approximately) the same image out."""
+    yy, xx = np.mgrid[:96, :96].astype(np.float32)
+    body = np.hypot(yy - 48, xx - 48) < 42
+    clean = np.where(body, 1.0, 0.05).astype(np.float32)
+    clean[np.hypot(yy - 48, xx - 58) < 15] = 1.5
+    out = np.asarray(n4_bias_correction(jnp.asarray(clean),
+                                        mask=jnp.asarray(body)))
+    ra = (out / clean)[body]
+    assert ra.std() / ra.mean() < 0.05
 
 
 def test_heavy_recipe_elastic_deforms(rng):
