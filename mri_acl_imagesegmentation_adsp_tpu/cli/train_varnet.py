@@ -23,6 +23,18 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser("Train VarNet (prostate DWI)")
     p.add_argument("--mode", default="train", choices=["train", "test"])
+    p.add_argument("--test-path", type=Path, default=None,
+                   help="h5 dir for --mode test (default <data-path>/test, "
+                        "falling back to val/)")
+    p.add_argument("--recon-out", type=Path, default=None,
+                   help="write per-volume reconstruction h5s here in "
+                        "--mode test")
+    p.add_argument("--mask-type", default="none",
+                   choices=["none", "random", "equispaced"],
+                   help="prospective undersampling mask_func")
+    p.add_argument("--center-fractions", type=float, nargs="+",
+                   default=[0.08])
+    p.add_argument("--accelerations", type=int, nargs="+", default=[4])
     p.add_argument("--data-path", type=Path, required=True,
                    help="root with train/ and val/ h5 dirs")
     p.add_argument("--out-dir", default="runs/varnet")
@@ -47,7 +59,13 @@ def main(argv=None) -> int:
                    help="Epochs between resume snapshots (0 disables).")
     args = p.parse_args(argv)
 
-    transform = VarNetDataTransform(mask_func=None)
+    mask_func = None
+    if args.mask_type != "none":
+        from ..data.subsample import RandomMaskFunc, EquispacedMaskFunc
+        cls = (RandomMaskFunc if args.mask_type == "random"
+               else EquispacedMaskFunc)
+        mask_func = cls(args.center_fractions, args.accelerations)
+    transform = VarNetDataTransform(mask_func=mask_func)
     train_ds = SliceDataset(args.data_path / "train", args.bvalue, transform)
     val_ds = SliceDataset(args.data_path / "val", args.bvalue, transform)
 
@@ -63,8 +81,17 @@ def main(argv=None) -> int:
         trainer.fit(resume=args.resume,
                     save_resume_every=args.save_resume_every)
     else:
+        trainer.try_resume()
         metrics = trainer.validate()
         print(metrics)
+        test_root = args.test_path or (args.data_path / "test")
+        if not Path(test_root).is_dir():
+            test_root = args.data_path / "val"
+        if args.recon_out is not None:
+            test_ds = SliceDataset(Path(test_root), args.bvalue, transform)
+            stacks = trainer.reconstruct(test_ds, out_dir=args.recon_out)
+            print(f"wrote {len(stacks)} reconstruction h5(s) -> "
+                  f"{args.recon_out}")
     return 0
 
 

@@ -73,7 +73,14 @@ class VarNetSample(NamedTuple):
 
 
 class VarNetDataTransform:
-    """Builds VarNetSamples from raw h5 arrays (transforms.py:187-251)."""
+    """Builds VarNetSamples from raw h5 arrays (transforms.py:187-251).
+
+    With a ``mask_func`` (data/subsample.py) the k-space is prospectively
+    undersampled on the fly; ``use_seed`` derives the mask seed from the
+    filename so every slice of a volume sees the same mask (the vendored
+    transform's documented contract, transforms.py:195-198). Masked
+    columns become exact zeros — the VarNet DC term recovers the sampling
+    pattern from them (recon/varnet.py:138)."""
 
     def __init__(self, mask_func=None, use_seed: bool = True):
         self.mask_func = mask_func
@@ -88,9 +95,14 @@ class VarNetDataTransform:
         else:
             target_t = np.zeros((), np.float32)
             max_value = 0.0
+        kspace_t = to_tensor(kspace)
+        if self.mask_func is not None:
+            from .subsample import apply_mask, seed_from_filename
+            seed = seed_from_filename(fname) if self.use_seed else None
+            kspace_t, _ = apply_mask(kspace_t, self.mask_func, seed)
         crop_size = (attrs["recon_size"][0], attrs["recon_size"][1])
         return VarNetSample(
-            kspace=to_tensor(kspace),
+            kspace=kspace_t,
             target=target_t,
             espirit=to_tensor(espirit),
             fname=fname,

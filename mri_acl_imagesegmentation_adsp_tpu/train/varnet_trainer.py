@@ -208,6 +208,31 @@ class VarNetTrainer:
         metrics["validation_loss"] = float(np.sum(losses) / max(1, len(losses)))
         return metrics
 
+    def reconstruct(self, ds, out_dir=None) -> Dict[str, np.ndarray]:
+        """Test-time reconstruction: run the model over a SliceDataset,
+        stack per-volume slices in order (deduped by slice id), and
+        optionally export one h5 per volume with a "reconstruction"
+        dataset (the vendored test flow: PL trainer.test + save_recon,
+        zip!fastmri_prostate/data/mri_data.py:196-215)."""
+        from collections import defaultdict as _dd
+        by_vol: Dict[str, Dict[int, np.ndarray]] = _dd(dict)
+        for sample in ds:
+            k = jnp.asarray(sample.kspace)[None]
+            e = jnp.asarray(sample.espirit)[None]
+            self._init_if_needed(k, e)
+            out = np.asarray(self._fwd(self.params, k, e))[0]
+            by_vol[str(sample.fname)][int(sample.slice_num)] = out
+        stacks = {f: np.stack([sl[i] for i in sorted(sl)])
+                  for f, sl in by_vol.items()}
+        if out_dir is not None:
+            from pathlib import Path as _P
+            from ..data.recon_data import save_recon
+            root = _P(out_dir)
+            root.mkdir(parents=True, exist_ok=True)
+            for f, vol in stacks.items():
+                save_recon({"reconstruction": vol}, str(root / f))
+        return stacks
+
     # ------------------------------------------------------------------
 
     def _save_best(self) -> None:

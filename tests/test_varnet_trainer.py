@@ -128,3 +128,25 @@ def test_early_stopping_contract():
     assert not es.early_stop and len(saves) == 2 and es.counter == 1
     es(0.96)  # second bad epoch reaches patience=2
     assert es.early_stop
+
+
+def test_varnet_reconstruct_exports_h5(tmp_path, rng):
+    """Test-time export: per-volume slice stacks (deduped, slice-sorted)
+    written as h5 files with a "reconstruction" dataset — the vendored
+    test flow's artifact (save_recon)."""
+    import h5py
+
+    val = (_fake_samples(rng, n=2, fname="volA.h5")
+           + _fake_samples(rng, n=3, fname="volB.h5"))
+    val = val + [val[0]]  # a padding duplicate to dedup
+    args = VarNetArgs(out_dir=str(tmp_path), num_cascades=1, chans=4,
+                      pools=2, sens_chans=4, sens_pools=2, crop=12, amp=False)
+    t = VarNetTrainer(args, train_ds=[], val_ds=val)
+    out_dir = tmp_path / "recons"
+    stacks = t.reconstruct(val, out_dir=out_dir)
+    assert set(stacks) == {"volA.h5", "volB.h5"}
+    assert stacks["volA.h5"].shape[0] == 2      # dedup kept 2 slices
+    assert stacks["volB.h5"].shape[0] == 3
+    with h5py.File(out_dir / "volA.h5", "r") as hf:
+        np.testing.assert_allclose(hf["reconstruction"][:],
+                                   stacks["volA.h5"], rtol=1e-6)
