@@ -133,3 +133,18 @@ def test_reduce_lr_on_plateau_matches_torch():
         ref.step(m)
         mine.step(m)
         assert abs(opt.param_groups[0]["lr"] - mine.lr) < 1e-9, m
+
+
+def test_train_heavy_aug_25d_end_to_end(artifact_lists):
+    """--aug heavy (elastic path) combined with k=3 neighbor stacking must
+    train end-to-end and keep losses finite (VERDICT-r1 weak item: heavy
+    aug + k>1 previously had only unit-level warp coverage)."""
+    tmp, train, val = artifact_lists
+    args = _args(tmp, train, val, "run_heavy_k3", aug="heavy", k=3, epochs=2)
+    result = UNet2DTrainer(args).run()
+    hist = result["history"]
+    assert len(hist) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in hist)
+    assert hist[-1]["val_dice"] > 0.3  # learning despite strong distortion
+    out = Path(args.out_dir)
+    assert json.loads((out / "args.json").read_text())["aug"] == "heavy"
