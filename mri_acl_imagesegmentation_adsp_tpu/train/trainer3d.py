@@ -118,6 +118,9 @@ class UNet3DArgs:
     pos_neg_ratio: float = 1.0
     samples_per_vol_train: int = 12
     samples_per_vol_val: int = 2
+    device_sampling: bool = False   # HBM-resident store + in-jit patch
+                                    # sampling (data/volume3d.py); host
+                                    # KneeNPZ3D stays the reference default
 
 
 class UNet3DTrainer:
@@ -163,6 +166,13 @@ class UNet3DTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)
 
+        self.device_store = None
+        self._sample_key = jax.random.PRNGKey(args.seed + 7)
+        if args.device_sampling:
+            from ..data.volume3d import DeviceVolumeStore
+            self.device_store = DeviceVolumeStore(args.train_list,
+                                                  seed=args.seed)
+
         self.best_val = float("inf")
         self.best_path = os.path.join(args.out_dir, "best3d.ckpt")
         self.log_csv = os.path.join(args.out_dir, "train_log.csv")
@@ -203,13 +213,30 @@ class UNet3DTrainer:
 
     def train_one_epoch(self) -> float:
         run, nb = 0.0, 0
-        for x, y in self.train_ds.batches(self.args.batch_size, shuffle=True):
+        for x, y in self._train_batches():
             self.params, self.batch_stats, self.opt_state, loss = \
                 self._train_step(self.params, self.batch_stats, self.opt_state,
                                  jnp.asarray(x), jnp.asarray(y))
             run += float(loss)
             nb += 1
         return run / max(1, nb)
+
+    def _train_batches(self):
+        a = self.args
+        if self.device_store is None:
+            yield from self.train_ds.batches(a.batch_size, shuffle=True)
+            return
+        # device path: patches come out of HBM inside jit; ROI patches are
+        # clipped to the store's slice budget like the host sampler clips
+        # to each volume's size
+        roi = (min(a.roi[0], self.device_store.images.shape[2]),
+               min(a.roi[1], self.device_store.images.shape[3]),
+               min(a.roi[2], self.device_store.images.shape[1]))
+        steps = max(1, len(self.train_ds) // a.batch_size)
+        for _ in range(steps):
+            self._sample_key, k = jax.random.split(self._sample_key)
+            yield self.device_store.sample_batch(
+                k, a.batch_size, roi, a.pos_neg_ratio)
 
     def validate(self) -> float:
         run, nb = 0.0, 0
