@@ -60,12 +60,29 @@ class SliceStore:
 
     @classmethod
     def from_files(cls, files: Sequence[str], workers: int = 0) -> "SliceStore":
+        loaded = None
         if workers and len(files) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                loaded = list(ex.map(cls._load_one, files))
-        else:
-            loaded = [cls._load_one(p) for p in files]
+            # native readahead first: a C++ thread pool loads all archives
+            # in parallel (no Python threads); per-volume failures fall
+            # back to np.load below
+            from ..native import load_volumes_npz
+            bulk = load_volumes_npz(list(files), threads=workers)
+            if bulk is not None:
+                loaded = []
+                for p, pair in zip(files, bulk):
+                    if pair is None:
+                        loaded.append(cls._load_one(p))
+                    else:
+                        x, y = pair
+                        loaded.append((x.astype(np.float32, copy=False),
+                                       y.astype(np.int32)))
+        if loaded is None:
+            if workers and len(files) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    loaded = list(ex.map(cls._load_one, files))
+            else:
+                loaded = [cls._load_one(p) for p in files]
         imgs, msks, starts, sizes = [], [], [], []
         n = 0
         for x, y in loaded:

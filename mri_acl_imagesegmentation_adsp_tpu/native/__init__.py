@@ -6,6 +6,8 @@ source); every consumer has a pure-NumPy fallback, so the framework works
 without a toolchain.
 """
 
-from .loader import native_available, load_npz_member, load_volume_npz
+from .loader import (native_available, load_npz_member,
+                     load_volume_npz, load_volumes_npz)
 
-__all__ = ["native_available", "load_npz_member", "load_volume_npz"]
+__all__ = ["native_available", "load_npz_member", "load_volume_npz",
+           "load_volumes_npz"]

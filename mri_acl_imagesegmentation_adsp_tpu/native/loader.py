@@ -23,6 +23,19 @@ _SO = os.path.join(_HERE, "libnpzloader.so")
 _lib = None
 _lock = threading.Lock()
 
+class _VolumeOut(ctypes.Structure):
+    """Mirror of npz_loader.cc's VolumeOut (natural C alignment)."""
+    _fields_ = [
+        ("img_data", ctypes.c_void_p), ("img_shape", ctypes.c_int64 * 8),
+        ("img_ndim", ctypes.c_int32), ("img_itemsize", ctypes.c_int32),
+        ("img_kind", ctypes.c_char),
+        ("msk_data", ctypes.c_void_p), ("msk_shape", ctypes.c_int64 * 8),
+        ("msk_ndim", ctypes.c_int32), ("msk_itemsize", ctypes.c_int32),
+        ("msk_kind", ctypes.c_char),
+        ("rc", ctypes.c_int32),
+    ]
+
+
 _KIND_TO_DTYPE = {
     ("f", 4): np.float32, ("f", 8): np.float64,
     ("u", 1): np.uint8, ("i", 1): np.int8,
@@ -37,7 +50,8 @@ def _build() -> Optional[str]:
         return _SO
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-lz", "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-lz",
+             "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -73,6 +87,10 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_char)]
         lib.npz_free.restype = None
         lib.npz_free.argtypes = [ctypes.c_void_p]
+        lib.npz_load_volumes.restype = ctypes.c_int
+        lib.npz_load_volumes.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(_VolumeOut)]
         _lib = lib
         return lib
 
@@ -147,3 +165,50 @@ def load_volume_npz(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
             lib.npz_free(img_p)
         if msk_p.value:
             lib.npz_free(msk_p)
+
+
+def _wrap_raw(ptr: int, shape_arr, ndim: int, itemsize: int,
+              kind: bytes) -> Optional[np.ndarray]:
+    dims = tuple(int(shape_arr[i]) for i in range(ndim))
+    dtype = _KIND_TO_DTYPE.get((kind.decode(), itemsize))
+    if dtype is None:
+        return None
+    n = int(np.prod(dims)) * np.dtype(dtype).itemsize
+    buf = (ctypes.c_uint8 * n).from_address(ptr)
+    return np.frombuffer(buf, dtype=dtype).reshape(dims).copy()
+
+
+def load_volumes_npz(paths, threads: int = 8):
+    """Multi-threaded native readahead: load many volume.npz archives with
+    a C++ thread pool (npz_load_volumes — no Python threads, no GIL
+    round-trips between files). Returns a list aligned with ``paths``
+    whose entries are (img, msk) or None (per-volume fallback marker);
+    returns None wholesale when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    if n == 0:
+        return []
+    outs = (_VolumeOut * n)()
+    carr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.npz_load_volumes(carr, n, int(threads), outs)
+    results = []
+    try:
+        for o in outs:
+            if o.rc != 0 or not o.img_data or not o.msk_data:
+                results.append(None)
+                continue
+            img = _wrap_raw(o.img_data, o.img_shape, o.img_ndim,
+                            o.img_itemsize, o.img_kind)
+            msk = _wrap_raw(o.msk_data, o.msk_shape, o.msk_ndim,
+                            o.msk_itemsize, o.msk_kind)
+            results.append(None if img is None or msk is None
+                           else (img, msk))
+    finally:
+        for o in outs:
+            if o.img_data:
+                lib.npz_free(o.img_data)
+            if o.msk_data:
+                lib.npz_free(o.msk_data)
+    return results

@@ -260,3 +260,57 @@ int npz_load_volume(const char* path,
 void npz_free(void* p) { std::free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-threaded readahead: load many volume.npz archives in parallel with a
+// native thread pool (no Python threads, no GIL round-trips between files).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+struct VolumeOut {
+  void* img_data;
+  int64_t img_shape[8];
+  int32_t img_ndim;
+  int32_t img_itemsize;
+  char img_kind;
+  void* msk_data;
+  int64_t msk_shape[8];
+  int32_t msk_ndim;
+  int32_t msk_itemsize;
+  char msk_kind;
+  int32_t rc;
+};
+
+// Load n archives with `threads` native workers pulling from a shared
+// queue. Per-volume status lands in outs[i].rc (0 ok / -1 failed; failed
+// entries have null data pointers). Returns 0.
+int npz_load_volumes(const char** paths, int32_t n, int32_t threads,
+                     VolumeOut* outs) {
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      VolumeOut& o = outs[i];
+      o.img_data = nullptr;
+      o.msk_data = nullptr;
+      o.rc = npz_load_volume(paths[i], &o.img_data, o.img_shape, &o.img_ndim,
+                             &o.img_itemsize, &o.img_kind, &o.msk_data,
+                             o.msk_shape, &o.msk_ndim, &o.msk_itemsize,
+                             &o.msk_kind);
+    }
+  };
+  int32_t t = threads < 1 ? 1 : threads;
+  if (t > n) t = n;
+  std::vector<std::thread> pool;
+  for (int32_t i = 1; i < t; ++i) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
+}  // extern "C"
