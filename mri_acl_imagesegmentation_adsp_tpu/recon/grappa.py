@@ -244,6 +244,28 @@ class Grappa:
         return self.apply_weights_batch(
             np.asarray(kspace)[None], weights)[0]
 
+    def apply_weights_pair(self, kspace_pair: jnp.ndarray,
+                           weights: Dict[int, np.ndarray]) -> jnp.ndarray:
+        """Device-resident batch apply: a (B, ...) REAL-PAIR stack whose
+        element layout matches apply_weights input (trailing (..., 2) pair,
+        coil axis at ``self.coil_axis`` of the element). The input stays in
+        HBM and the filled pair comes back in HBM — no host round-trip, so
+        multi-stage pipelines (T2: GRAPPA -> zero-pad -> iFFT/RSS) upload
+        each average once instead of per stage (the host<->device link is
+        the bottleneck on remote-attached chips)."""
+        elem_rank = kspace_pair.ndim - 2   # dims between batch and pair
+        ax = 1 + (self.coil_axis % elem_rank)
+        coil_slot = kspace_pair.ndim - 2   # just before the pair dim
+        k = jnp.moveaxis(kspace_pair, ax, coil_slot)  # (B, X, Y, nc, 2)
+        kx, ky = self.kernel_size
+        kx2, ky2 = kx // 2, ky // 2
+        nc = k.shape[-2]
+        kpad = jnp.pad(k, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0), (0, 0)))
+        geom_map, kernels = self._conv_materials(weights, int(nc))
+        vals = _apply_kernels_conv(kpad, jnp.asarray(kernels),
+                                   jnp.asarray(geom_map))
+        return jnp.moveaxis(k + vals, coil_slot, ax)
+
     def apply_weights_batch(self, kspaces: np.ndarray,
                             weights: Dict[int, np.ndarray]) -> np.ndarray:
         """Fill the holes of a STACK of k-spaces sharing one sampling
@@ -252,23 +274,12 @@ class Grappa:
         the MXU work amortizes the kernel/geometry setup).
 
         kspaces: (B, ...) where each element matches apply_weights input
-        (coil axis at ``self.coil_axis`` of the ELEMENT).
+        (coil axis at ``self.coil_axis`` of the ELEMENT). Host complex in,
+        host complex out; the device-resident variant is
+        ``apply_weights_pair``. Holes are zero in the input, so adding the
+        conv output (zero off the holes) reproduces recon + kspace of the
+        vendored code.
         """
-        ks = np.asarray(kspaces)
-        elem_axis = self.coil_axis if self.coil_axis < 0 \
-            else self.coil_axis + 1
-        ks = np.moveaxis(ks, elem_axis, -1)            # (B, X, Y, nc)
-        kx, ky = self.kernel_size
-        kx2, ky2 = kx // 2, ky // 2
-        nc = ks.shape[-1]
-
-        kpad = np.pad(ks, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0)),
-                      mode="constant")
-        geom_map, kernels = self._conv_materials(weights, nc)
-        vals = _apply_kernels_conv(jnp.asarray(to_pair(kpad)),
-                                   jnp.asarray(kernels),
-                                   jnp.asarray(geom_map))
-        # holes are zero in the input, so adding the conv output (zero off
-        # the holes) reproduces recon + kspace of the vendored code
-        out = ks + to_complex(vals)
-        return np.moveaxis(out, -1, elem_axis)
+        pair = jnp.asarray(to_pair(np.asarray(kspaces)))
+        out_pair = np.asarray(self.apply_weights_pair(pair, weights))
+        return to_complex(out_pair)  # complex only on host

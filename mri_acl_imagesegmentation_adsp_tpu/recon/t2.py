@@ -75,7 +75,17 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
                       hdr: Optional[Union[str, float]] = None
                       ) -> Dict[str, np.ndarray]:
     """Full T2 pipeline. ``hdr`` is an ISMRMRD XML string or an explicit
-    padding amount (float); None means no zero-padding."""
+    padding amount (float); None means no zero-padding.
+
+    DEVICE-RESIDENT: the k-space pairs upload to HBM exactly once; GRAPPA
+    hole filling (averages 0+2 in one batched conv per slice), PE
+    zero-padding, the centered iFFT + RSS + flipud, the average mean and
+    the center crop all stay on device, and only the (S, 320, 320) result
+    comes back. On remote-attached chips the host<->device link dominates
+    the per-stage round-trip formulation (profiled: the conv apply was
+    transfer-bound, not compute-bound), so staying resident wins wall-clock
+    (measured case times in PARITY.md).
+    """
     num_avg, num_slices, num_coils, num_ro, num_pe = kspace_data.shape
 
     grappa_obj = Grappa(np.transpose(kspace_data[0, 0], (2, 0, 1)),
@@ -89,18 +99,6 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
         wd[s] = grappa_obj.compute_weights(calib)
         wd2[s] = grappa_obj_2.compute_weights(calib)
 
-    kspace_post = np.zeros(kspace_data.shape, dtype=complex)
-    for s in range(num_slices):
-        to_grappa = lambda a: np.transpose(kspace_data[a, s], (2, 0, 1))
-        # averages 0 and 2 share weight set 1: ONE batched device conv
-        # fills both (apply_weights_batch); average 1 uses set 2
-        f02 = grappa_obj.apply_weights_batch(
-            np.stack([to_grappa(0), to_grappa(2)]), wd[s])
-        f1 = grappa_obj_2.apply_weights(to_grappa(1), wd2[s])
-        kspace_post[0, s] = np.transpose(f02[0], (1, 2, 0))
-        kspace_post[2, s] = np.transpose(f02[1], (1, 2, 0))
-        kspace_post[1, s] = np.transpose(f1, (1, 2, 0))
-
     if hdr is None:
         padding = 0.0
     elif isinstance(hdr, (str, bytes)):
@@ -110,15 +108,29 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     else:
         padding = float(hdr)
 
-    im = None
-    for avg in range(num_avg):
-        k = kspace_post[avg]
-        if padding:
-            k = zero_pad_kspace(k, padding)
-        out = create_coil_combined_im(k)
-        if im is None:
-            im = np.zeros((num_avg, *out.shape))
-        im[avg] = out
+    # ONE upload, in the GRAPPA element layout (avg, slice, pe, coils, ro)
+    k_pair = jnp.asarray(to_pair(np.transpose(kspace_data, (0, 1, 4, 2, 3))))
+    avg02 = jnp.asarray([0, 2])
+    filled_slices = []
+    for s in range(num_slices):
+        # averages 0 and 2 share weight set 1: ONE batched device conv
+        f02 = grappa_obj.apply_weights_pair(k_pair[avg02, s], wd[s])
+        f1 = grappa_obj_2.apply_weights_pair(k_pair[1:2, s], wd2[s])
+        filled_slices.append(
+            jnp.concatenate([f02[:1], f1, f02[1:]], axis=0))
+    k_post = jnp.stack(filled_slices, axis=1)      # (3, S, pe, C, ro, 2)
+    k_post = jnp.transpose(k_post, (0, 1, 3, 4, 2, 5))  # (3, S, C, ro, pe, 2)
 
-    im_3d = np.mean(im, axis=0)
-    return {"reconstruction_rss": center_crop_im(im_3d, [320, 320])}
+    if padding:
+        if padding % 2 != 0:
+            left, right = int(np.floor(padding)), int(np.ceil(padding))
+        else:
+            left = right = int(padding)
+        k_post = jnp.pad(k_post, [(0, 0)] * 4 + [(left, right), (0, 0)])
+
+    img = ifftnd_scaled(k_post, [-2, -1])          # centered iFFT (ro, pe)
+    mag = rss_complex(img, axis=2)                 # (3, S, ro, pe')
+    mag = mag[..., ::-1, :]                        # flipud per slice
+    im_3d = jnp.mean(mag, axis=0)                  # (S, ro, pe')
+    out = np.asarray(center_crop_im(im_3d, [320, 320]))
+    return {"reconstruction_rss": out}
