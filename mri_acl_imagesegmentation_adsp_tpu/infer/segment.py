@@ -36,6 +36,37 @@ def _neighbor_stack(vol: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+# One compiled scan runner per (apply_fn, classes); the strong reference to
+# apply_fn in the value both keeps id() stable and lets us verify identity.
+_SCAN_RUNNERS: Dict[Tuple[int, int], Tuple[Callable, Callable]] = {}
+
+
+def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
+    """jitted (steps,B,H,W,k) -> (steps,B,C,H,W) probability scan.
+
+    The whole volume is processed in ONE device dispatch (a ``lax.scan``
+    over batches) instead of one dispatch per batch — on this environment's
+    remote-relay backend each dispatch costs ~18 ms, which otherwise
+    dominates the ~17 ms of actual device compute per batch.
+    """
+    key = (id(apply_fn), classes)
+    hit = _SCAN_RUNNERS.get(key)
+    if hit is not None and hit[0] is apply_fn:
+        return hit[1]
+
+    @jax.jit
+    def run(x_all):
+        def body(_, xb):
+            logits = jnp.transpose(apply_fn(xb), (0, 3, 1, 2))
+            probs = (jax.nn.sigmoid(logits) if classes == 1
+                     else jax.nn.softmax(logits, axis=1))
+            return None, probs
+        return jax.lax.scan(body, None, x_all)[1]
+
+    _SCAN_RUNNERS[key] = (apply_fn, run)
+    return run
+
+
 def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
                       batch_size: int = 16, classes: int = 1) -> np.ndarray:
     """Segment a whole volume with a 2-D model.
@@ -43,21 +74,24 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     apply_fn: (x NHWC) -> logits NHWC (already bound to params).
     volume: (S,1,H,W) or (S,H,W) float32 (preprocessed/z-scored).
     Returns probabilities (S,C,H,W) float32.
+
+    All batches run in a single jitted ``lax.scan`` dispatch; the slice
+    axis is padded (with repeats of the last slice) to a whole number of
+    batches and the padding is dropped before returning.
     """
     vol = jnp.asarray(volume)
     if vol.ndim == 4:
         vol = vol[:, 0]
     x = _neighbor_stack(vol, k)              # (S,H,W,k)
     s = x.shape[0]
-    outs = []
-    for start in range(0, s, batch_size):
-        xb = x[start: start + batch_size]
-        logits = apply_fn(xb)
-        logits = jnp.transpose(logits, (0, 3, 1, 2))
-        probs = (jax.nn.sigmoid(logits) if classes == 1
-                 else jax.nn.softmax(logits, axis=1))
-        outs.append(probs)
-    return np.asarray(jnp.concatenate(outs, axis=0), np.float32)
+    batch_size = min(batch_size, s)
+    pad = (-s) % batch_size
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    x_all = x.reshape(-1, batch_size, *x.shape[1:])
+    probs = _scanned_runner(apply_fn, classes)(x_all)
+    probs = probs.reshape(-1, *probs.shape[2:])[:s]
+    return np.asarray(probs, np.float32)
 
 
 @lru_cache(maxsize=8)

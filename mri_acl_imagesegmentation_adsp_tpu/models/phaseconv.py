@@ -1,0 +1,139 @@
+"""Phase-space (space-to-depth) lowering of the U-Net decoder convs.
+
+Why: the decoder of the smp-style U-Net (models/unet2d.py, displacing
+reference src/models/unet_factory.py) spends ~70% of inference device time
+at ~6% MFU — its convs have 16-32 channels at 160-320 px, so 7/8 of the
+MXU's 128 output lanes idle while the VPU shuffles a 4x-materialized
+nearest-upsampled tensor. Measured on the target v5e (scripts/
+micro_decoder.py): nearest-up2x + conv3x3 32->16 @320^2 takes 6.33 ms per
+32-batch, while the mathematically identical phase formulation below takes
+0.59 ms (10.8x); the in-block 3x3 convs gain 2.1-3.4x.
+
+The identity: for even output grids, a 3x3 SAME conv at (2L x 2L) is a
+2x2-support VALID conv at (L x L) over the 4-phase space-to-depth
+representation. Writing the high-res row index as r = 2y + a (a in {0,1} =
+row phase), a conv tap dy in {-1,0,1} reads low-res row ly = (r+dy)//2 and
+input phase pa = (r+dy) mod 2; the window {ly} spans exactly two low-res
+rows. Three lowering flavours are built from the SAME (3,3,Ci,Co) kernel
+parameter (so parameter trees and checkpoints stay interchangeable with the
+naive path):
+
+  * up-conv   — conv3x3(nearest_up2(x)): all 4 input phases equal x, so the
+                phase kernel collapses to (2,2,Ci,4Co) with row/col tap sums
+                (2.25x FEWER FLOPs than up+conv, and the 4x-size upsampled
+                tensor is never materialized);
+  * dense     — conv3x3(y) for y already in phase space: (2,2,4Ci,4Co) with
+                the 9 taps scattered into 9 of the 16 (window, phase) slots
+                (1.78x the FLOPs, at MXU-shaped operand sizes);
+  * the block output stays in phase space until one depth_to_space at the
+    block boundary.
+
+Everything here is linear in the kernel parameter, so gradients flow to the
+original (3,3) kernels and the naive/fused paths are exactly equal in f32
+(pinned in tests/test_models.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+# Row-phase tap-sum factors for the up-conv: R[a][u, t] says window row u of
+# output phase a accumulates kernel row t (t = dy+1). Derived from
+# ly = (2y + a + dy) // 2 with window start y - 1 + a.
+_R_UP = np.asarray(
+    [[[1.0, 0.0, 0.0],   # a=0: row y-1 <- dy=-1 ; row y <- dy=0 and dy=+1
+      [0.0, 1.0, 1.0]],
+     [[1.0, 1.0, 0.0],   # a=1: row y <- dy=-1 and dy=0 ; row y+1 <- dy=+1
+      [0.0, 0.0, 1.0]]], np.float32)
+
+# Dense scatter M[a, u, p, t]: output phase a takes kernel row t from window
+# slot u, input phase p. (9 of the 16 (u,p) slots per (a,b) pair are live.)
+_M_DENSE = np.zeros((2, 2, 2, 3), np.float32)
+_M_DENSE[0, 0, 1, 0] = 1.0   # a=0, dy=-1 -> row y-1, phase 1
+_M_DENSE[0, 1, 0, 1] = 1.0   # a=0, dy= 0 -> row y,   phase 0
+_M_DENSE[0, 1, 1, 2] = 1.0   # a=0, dy=+1 -> row y,   phase 1
+_M_DENSE[1, 0, 0, 0] = 1.0   # a=1, dy=-1 -> row y,   phase 0
+_M_DENSE[1, 0, 1, 1] = 1.0   # a=1, dy= 0 -> row y,   phase 1
+_M_DENSE[1, 1, 0, 2] = 1.0   # a=1, dy=+1 -> row y+1, phase 0
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2L, 2L', C) -> (B, L, L', 4C), phase-major (channel (2a+b)C+c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, L', 4C) phase-major -> (B, 2L, 2L', C)."""
+    b, h, w, f = x.shape
+    c = f // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def upconv_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) -> (2,2,Ci,4Co) computing conv3x3(nearest_up2(x))."""
+    ci, co = k.shape[2], k.shape[3]
+    w = jnp.einsum("aut,bvs,tsio->uviabo", _R_UP, _R_UP, k)
+    return w.reshape(2, 2, ci, 4 * co)
+
+
+# 3x3-SAME embedding of the up-conv: window slot u in {0,1,2} <-> low-res
+# row offset delta in {-1,0,+1}; phase a=0 reads rows {y-1, y}, a=1 reads
+# {y, y+1}, so the 2-row support embeds into the shared SAME window and all
+# four output phases land at the SAME output position — no shifted-slice
+# epilogue. (Measured on the v5e: the 2x2-VALID variant's pad+4-slice+concat
+# epilogue costs 7x the conv itself; this embedding is epilogue-free at
+# 9/4 of the 2x2 variant's FLOPs, which still equals the plain conv3x3
+# FLOP count and avoids materializing the 4x upsampled tensor.)
+_R_UP3 = np.asarray(
+    [[[1.0, 0.0, 0.0],   # a=0: delta=-1 <- K[0];  delta=0 <- K[1]+K[2]
+      [0.0, 1.0, 1.0],
+      [0.0, 0.0, 0.0]],
+     [[0.0, 0.0, 0.0],   # a=1: delta=0 <- K[0]+K[1];  delta=+1 <- K[2]
+      [1.0, 1.0, 0.0],
+      [0.0, 0.0, 1.0]]], np.float32)
+
+
+def upconv_embedded_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) -> (3,3,Ci,4Co): conv3x3(nearest_up2(x)) as ONE 3x3 SAME
+    conv at low resolution followed by depth_to_space. Phase-major output
+    channel layout (2a+b)*Co + co, matching depth_to_space."""
+    ci, co = k.shape[2], k.shape[3]
+    w = jnp.einsum("aut,bvs,tsio->uviabo", _R_UP3, _R_UP3, k)
+    return w.reshape(3, 3, ci, 4 * co)
+
+
+def dense_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) -> (2,2,4Ci,4Co) computing conv3x3 on phase-space input."""
+    ci, co = k.shape[2], k.shape[3]
+    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", _M_DENSE, _M_DENSE, k)
+    return w.reshape(2, 2, 4 * ci, 4 * co)
+
+
+def apply_phase_conv(x: jnp.ndarray, w: jnp.ndarray,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Run a lowered (2,2,Cin,4Co) kernel; returns phase-major (B,L,L',4Co).
+
+    One zero-padded VALID conv covers all window starts; output phase (a,b)
+    then reads the (a,b)-shifted window slice of its own channel group
+    (window start for output y is y-1+a, see module docstring).
+    """
+    b, hl, wl, _ = x.shape
+    co = w.shape[-1] // 4
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp.astype(dtype), w.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, L+1, L'+1, 4Co)
+    parts = []
+    for a in (0, 1):
+        for bb in (0, 1):
+            p = 2 * a + bb
+            parts.append(y[:, a:a + hl, bb:bb + wl,
+                           p * co:(p + 1) * co])
+    return jnp.concatenate(parts, axis=-1)

@@ -20,7 +20,8 @@ def test_segment_volume_2d_shapes_and_25d(rng):
     calls = []
 
     def apply_fn(x):
-        calls.append(np.asarray(x).shape)
+        # x.shape is static under tracing (apply_fn runs inside the scan jit)
+        calls.append(tuple(x.shape))
         return jnp.sum(x, axis=-1, keepdims=True) * 0.0 + x[..., :1]
 
     probs = segment_volume_2d(apply_fn, vol, k=3, batch_size=4)
@@ -33,16 +34,21 @@ def test_segment_volume_edge_clamping(rng):
     """First slice's 2.5-D stack must clamp to slice 0 (datasets.py:94)."""
     vol = np.arange(5, dtype=np.float32)[:, None, None] * np.ones((5, 4, 4),
                                                                   np.float32)
-    seen = {}
 
-    def apply_fn(x):
-        seen["first"] = np.asarray(x)[0]
-        return x[..., :1]
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
 
-    segment_volume_2d(apply_fn, vol[:, None], k=3, batch_size=8)
-    first = seen["first"]
-    assert np.allclose(first[..., 0], 0) and np.allclose(first[..., 1], 0)
-    assert np.allclose(first[..., 2], 1)
+    # the d=-1 neighbor channel as logits: slice s sees vol[max(s-1, 0)]
+    probs = segment_volume_2d(lambda x: x[..., :1], vol[:, None], k=3,
+                              batch_size=8)
+    expect = sig(np.maximum(np.arange(5) - 1, 0).astype(np.float32))
+    assert np.allclose(probs[:, 0, 0, 0], expect, atol=1e-6)
+
+    # the d=+1 neighbor channel: slice s sees vol[min(s+1, 4)]
+    probs = segment_volume_2d(lambda x: x[..., -1:], vol[:, None], k=3,
+                              batch_size=8)
+    expect = sig(np.minimum(np.arange(5) + 1, 4).astype(np.float32))
+    assert np.allclose(probs[:, 0, 0, 0], expect, atol=1e-6)
 
 
 def test_sliding_window_3d_blending_constant_logits(rng):

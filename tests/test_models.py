@@ -99,3 +99,156 @@ def test_unet_gradients_flow():
     grads = jax.grad(loss_fn)(variables["params"])
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_fused_decoder_matches_naive_exactly():
+    """The phase-space decoder (models/phaseconv.py) is a pure relowering:
+    identical parameter tree, f32 outputs / batch_stats / grads equal to the
+    naive nearest-up+conv path up to fp reassociation."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import (
+        ResNetEncoderUNet)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    naive = ResNetEncoderUNet("resnet18", classes=1, fused_decoder=False)
+    fused = ResNetEncoderUNet("resnet18", classes=1, fused_decoder=True)
+    v_n = naive.init(jax.random.PRNGKey(0), x, train=False)
+    v_f = fused.init(jax.random.PRNGKey(0), x, train=False)
+
+    keys_n = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_n["params"])]
+    keys_f = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_f["params"])]
+    assert keys_n == keys_f, "fused decoder changed the parameter tree"
+
+    y_n = naive.apply(v_n, x, train=False)
+    y_f = fused.apply(v_n, x, train=False)
+    assert np.allclose(np.asarray(y_n), np.asarray(y_f), atol=5e-4)
+
+    o_n, s_n = naive.apply(v_n, x, train=True, mutable=["batch_stats"])
+    o_f, s_f = fused.apply(v_n, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(o_n), np.asarray(o_f), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_n), jax.tree.leaves(s_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def loss(p, model):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": v_n["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_n = jax.grad(loss)(v_n["params"], naive)
+    g_f = jax.grad(loss)(v_n["params"], fused)
+    for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_phaseconv_primitives_match_reference_lowering():
+    """upconv/dense phase kernels reproduce conv3x3(up2(x)) and conv3x3(y)
+    exactly on random tensors (the identity the decoder relies on)."""
+    from jax import lax
+    from mri_acl_imagesegmentation_adsp_tpu.models.phaseconv import (
+        apply_phase_conv, dense_phase_kernel, depth_to_space,
+        space_to_depth, upconv_phase_kernel)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+
+    def conv3x3(t, w):
+        return lax.conv_general_dilated(
+            t, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # up-conv identity (2x2 VALID variant)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    want = conv3x3(up, k)
+    got = depth_to_space(apply_phase_conv(x, upconv_phase_kernel(k)))
+    assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+    # up-conv identity (epilogue-free 3x3 SAME embedding — the production
+    # lowering in _DecoderBlock._fused)
+    from mri_acl_imagesegmentation_adsp_tpu.models.phaseconv import (
+        upconv_embedded_kernel)
+    got = depth_to_space(conv3x3(x, upconv_embedded_kernel(k)))
+    assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+    # dense identity (input already high-res)
+    y = jnp.asarray(rng.standard_normal((2, 20, 24, 5)).astype(np.float32))
+    want = conv3x3(y, k)
+    got = depth_to_space(
+        apply_phase_conv(space_to_depth(y), dense_phase_kernel(k)))
+    assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+    # s2d/d2s roundtrip
+    assert np.allclose(np.asarray(depth_to_space(space_to_depth(y))),
+                       np.asarray(y))
+
+
+def test_efficient_batchnorm_matches_flax():
+    """models/norm.py BatchNorm == nn.BatchNorm in f32: same param/stat
+    tree, same outputs (train+eval), same running-stat updates, same grads
+    (including the through-stats terms)."""
+    import flax.linen as fnn
+    from mri_acl_imagesegmentation_adsp_tpu.models.norm import BatchNorm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 9, 9, 6)).astype(np.float32) * 3
+                    + 1.0)
+
+    class Ours(fnn.Module):
+        train: bool
+
+        @fnn.compact
+        def __call__(self, x):
+            return BatchNorm(use_running_average=not self.train,
+                             momentum=0.9, epsilon=1e-5)(x)
+
+    class Flax(fnn.Module):
+        train: bool
+
+        @fnn.compact
+        def __call__(self, x):
+            return fnn.BatchNorm(use_running_average=not self.train,
+                                 momentum=0.9, epsilon=1e-5)(x)
+
+    v_o = Ours(train=True).init(jax.random.PRNGKey(0), x)
+    v_f = Flax(train=True).init(jax.random.PRNGKey(0), x)
+    ko = [jax.tree_util.keystr(k) for k, _ in
+          jax.tree_util.tree_leaves_with_path(v_o)]
+    kf = [jax.tree_util.keystr(k) for k, _ in
+          jax.tree_util.tree_leaves_with_path(v_f)]
+    assert ko == kf
+
+    # train: outputs + stat updates
+    y_o, s_o = Ours(train=True).apply(v_f, x, mutable=["batch_stats"])
+    y_f, s_f = Flax(train=True).apply(v_f, x, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(y_o), np.asarray(y_f), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_o), jax.tree.leaves(s_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # eval with non-trivial running stats
+    stats = {"BatchNorm_0": {"mean": jnp.asarray([0.5, -1.0, 2.0, 0, 1, 3]),
+                             "var": jnp.asarray([1.5, 0.3, 2.2, 1, 9, 4])}}
+    vars_eval = {"params": v_f["params"], "batch_stats": stats}
+    y_o = Ours(train=False).apply(vars_eval, x)
+    y_f = Flax(train=False).apply(vars_eval, x)
+    assert np.allclose(np.asarray(y_o), np.asarray(y_f), atol=1e-5)
+
+    # grads (params + input, through batch stats)
+    def loss(p, mod):
+        out, _ = mod.apply({"params": p, "batch_stats": stats}, x,
+                           mutable=["batch_stats"])
+        return jnp.sum(out ** 3)
+
+    g_o = jax.grad(loss)(v_f["params"], Ours(train=True))
+    g_f = jax.grad(loss)(v_f["params"], Flax(train=True))
+    for a, b in zip(jax.tree.leaves(g_o), jax.tree.leaves(g_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                           atol=1e-4)
+    gx_o = jax.grad(lambda t: jnp.sum(Ours(train=True).apply(
+        v_f, t, mutable=["batch_stats"])[0] ** 3))(x)
+    gx_f = jax.grad(lambda t: jnp.sum(Flax(train=True).apply(
+        v_f, t, mutable=["batch_stats"])[0] ** 3))(x)
+    assert np.allclose(np.asarray(gx_o), np.asarray(gx_f), rtol=1e-4,
+                       atol=1e-4)
