@@ -73,10 +73,18 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    # >1 when the input is a space-to-depth phase-major tensor whose last
+    # axis is (phase_groups * C): parameters/stats stay per LOGICAL channel
+    # C (so the tree matches the high-res layout and checkpoints
+    # interchange), batch statistics additionally reduce over the phase
+    # groups (same value set as the high-res reduction), and A/B are tiled
+    # phase-major for the elementwise apply.
+    phase_groups: int = 1
 
     @nn.compact
     def __call__(self, x):
-        feat = x.shape[-1]
+        g = self.phase_groups
+        feat = x.shape[-1] // g
         scale = self.param("scale", nn.initializers.ones, (feat,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,),
@@ -89,8 +97,10 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
+            if g > 1:
+                xf = xf.reshape(*x.shape[:-1], g, feat)
+            axes = tuple(range(xf.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             mu2 = jnp.mean(jnp.square(xf), axis=axes)
             var = jnp.maximum(0.0, mu2 - jnp.square(mean))
@@ -101,4 +111,6 @@ class BatchNorm(nn.Module):
 
         a = scale * lax.rsqrt(var + self.epsilon)
         b = bias - mean * a
+        if g > 1:
+            a, b = jnp.tile(a, g), jnp.tile(b, g)
         return _scale_shift(x.astype(self.dtype), a, b)

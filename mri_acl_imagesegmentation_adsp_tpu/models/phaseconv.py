@@ -109,6 +109,65 @@ def upconv_embedded_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(3, 3, ci, 4 * co)
 
 
+# 3x3-SAME embedding of the DENSE phase conv (input already phase-major).
+# Output phase row a takes tap dy from low-res row y + delta, input phase p:
+#   r = 2y + a, input row r + dy -> p = (a+dy) mod 2, delta = (a+dy) // 2
+#   a=0: dy=-1 -> (delta=-1, p=1); dy=0 -> (0, 0); dy=+1 -> (0, 1)
+#   a=1: dy=-1 -> (delta=0,  p=0); dy=0 -> (0, 1); dy=+1 -> (+1, 0)
+# With delta as the 3x3 SAME window slot (slot = delta+1), every output
+# phase lands at the SAME output position — epilogue-free, like
+# upconv_embedded_kernel. SAME zero padding is exact: high-res pad rows map
+# to all-zero out-of-range low-res phase rows. 9/4 the FLOPs of the
+# 2x2-VALID dense variant (= 4x the plain conv3x3), paid for MXU-shaped
+# 4C-channel operands — only worth it where the high-res conv is
+# pathologically shaped (e.g. the 1-channel segmentation head).
+_M3_DENSE = np.zeros((2, 3, 2, 3), np.float32)
+_M3_DENSE[0, 0, 1, 0] = 1.0   # a=0, dy=-1 -> slot 0 (delta -1), phase 1
+_M3_DENSE[0, 1, 0, 1] = 1.0   # a=0, dy= 0 -> slot 1, phase 0
+_M3_DENSE[0, 1, 1, 2] = 1.0   # a=0, dy=+1 -> slot 1, phase 1
+_M3_DENSE[1, 1, 0, 0] = 1.0   # a=1, dy=-1 -> slot 1, phase 0
+_M3_DENSE[1, 1, 1, 1] = 1.0   # a=1, dy= 0 -> slot 1, phase 1
+_M3_DENSE[1, 2, 0, 2] = 1.0   # a=1, dy=+1 -> slot 2 (delta +1), phase 0
+
+
+def dense_embedded_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) -> (3,3,4Ci,4Co): conv3x3 on a phase-major tensor as ONE
+    3x3 SAME conv (no shifted-slice epilogue); output stays phase-major."""
+    ci, co = k.shape[2], k.shape[3]
+    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", _M3_DENSE, _M3_DENSE, k)
+    return w.reshape(3, 3, 4 * ci, 4 * co)
+
+
+# Strided (high-res -> phase-major) embedding: out[y,x,(2a+b)Co+co] =
+# conv3x3(s)[2y+a, 2x+b, co]. A stride-2 conv with a 4x4 kernel and SAME-
+# style padding (1,1) reads high-res rows {2y-1 .. 2y+2} = slot u = 0..3;
+# output phase a takes kernel row t (= dy+1) from slot u = a + t.
+_S4 = np.zeros((2, 4, 3), np.float32)
+for _a in (0, 1):
+    for _t in range(3):
+        _S4[_a, _a + _t, _t] = 1.0
+
+
+def strided_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) -> (4,4,Ci,4Co): conv3x3 on a HIGH-RES tensor emitting
+    phase-major output directly (one stride-2 conv, padding (1,1)) — the
+    space-to-depth of the conv's output without materializing it."""
+    ci, co = k.shape[2], k.shape[3]
+    w = jnp.einsum("aut,bvs,tsio->uviabo", _S4, _S4, k)
+    return w.reshape(4, 4, ci, 4 * co)
+
+
+def apply_strided_phase(x: jnp.ndarray, w4: jnp.ndarray,
+                        dtype=None) -> jnp.ndarray:
+    """Run a (4,4,Ci,4Co) strided phase kernel on high-res x (B,2L,2L',Ci)
+    -> phase-major (B,L,L',4Co)."""
+    if dtype is not None:
+        x, w4 = x.astype(dtype), w4.astype(dtype)
+    return lax.conv_general_dilated(
+        x, w4, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def dense_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (2,2,4Ci,4Co) computing conv3x3 on phase-space input."""
     ci, co = k.shape[2], k.shape[3]

@@ -133,18 +133,25 @@ class ResNetEncoder(nn.Module):
 
 
 class _ConvKernel(nn.Module):
-    """Parameter-compatible stand-in for nn.Conv(use_bias=False): owns the
-    (kh, kw, Cin, Cout) kernel but leaves the lowering to the caller. Named
-    "Conv_i" at the call site so the fused decoder's parameter tree (and
-    checkpoints) match the naive nn.Conv path exactly."""
+    """Parameter-compatible stand-in for nn.Conv: owns the (kh, kw, Cin,
+    Cout) kernel (and optionally the bias) but leaves the lowering to the
+    caller. Named "Conv_i" at the call site so the fused decoder's
+    parameter tree (and checkpoints) match the naive nn.Conv path
+    exactly."""
     features: int
     in_features: int
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", _conv_init,
-                          (3, 3, self.in_features, self.features),
-                          jnp.float32)
+        k = self.param("kernel", _conv_init,
+                       (3, 3, self.in_features, self.features),
+                       jnp.float32)
+        if not self.use_bias:
+            return k
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
 
 
 class _DecoderBlock(nn.Module):
@@ -161,6 +168,12 @@ class _DecoderBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     fused: bool = True
+    # phase_out=True (only valid when skip is None, i.e. the LAST block):
+    # return the block output STILL in phase-major space-to-depth form
+    # (B, L, L', 4C) — the caller applies the segmentation head with a
+    # dense-embedded phase kernel and performs the single depth_to_space
+    # on the (tiny) logits instead of materializing (B, 2L, 2L', C).
+    phase_out: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
@@ -168,7 +181,11 @@ class _DecoderBlock(nn.Module):
                                    and 2 * x.shape[2] == skip.shape[2])
         if self.fused and aligned:
             return self._fused(x, skip, train)
-        return self._naive(x, skip, train)
+        y = self._naive(x, skip, train)
+        if self.phase_out:
+            from .phaseconv import space_to_depth
+            y = space_to_depth(y)
+        return y
 
     def _naive(self, x, skip, train: bool):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
@@ -185,22 +202,37 @@ class _DecoderBlock(nn.Module):
             x = nn.relu(x)
         return x
 
+    # Blocks whose channel count is at most this run FULLY phase-internal
+    # (skip conv as a strided 4x4 phase-emitting conv, conv2 dense-embedded,
+    # BN/ReLU in phase space, ONE depth_to_space at the block output).
+    # Wider blocks (128/256 ch) already fill the MXU's 128 lanes at high
+    # resolution, and the dense lowering's 4x FLOPs would lose there — they
+    # keep the hybrid lowering (phase up-conv only).
+    _PHASE_INTERNAL_MAX_CH = 64
+
     def _fused(self, x, skip, train: bool):
-        """Hybrid lowering: only the upsample+conv runs phase-embedded.
+        """Phase-space lowering of the decoder block (models/phaseconv.py).
 
         conv1 = conv3x3(concat(up2(x), skip)) splits by linearity into
           * the up-part: ONE 3x3 SAME conv at x's (low) resolution with the
-            phase-embedded kernel (4x output channel groups), then
-            depth_to_space — same FLOPs as the high-res conv, MXU-shaped
-            operands, and the 4x nearest-upsampled tensor is never
-            materialized (measured 6.3 ms -> 1.4 ms per 32-batch at the
-            320^2 block on the v5e);
-          * the skip-part: a plain high-res 3x3 conv (a dense phase
-            lowering would cost 4x the FLOPs — not worth it).
-        BN/ReLU/conv2 stay high-res: measured, their phase variants lose
-        to XLA's native lowering once layout glue is accounted for.
+            phase-embedded kernel (4x output channel groups) — same FLOPs
+            as the high-res conv, MXU-shaped operands, and the 4x
+            nearest-upsampled tensor is never materialized (measured
+            6.3 ms -> 1.4 ms per 32-batch at the 320^2 block on the v5e);
+          * the skip-part: for low-channel blocks (<= 64 features), a
+            strided 4x4 conv emitting phase-major output directly
+            (16/9 the FLOPs, no space-to-depth copy); for wide blocks a
+            plain high-res 3x3 conv after depth_to_space.
+        Low-channel blocks then keep BN/ReLU/conv2 in phase space (conv2
+        dense-embedded: 4x FLOPs paid for 4x the channels on the MXU
+        lanes) and depth_to_space once at the block boundary; wide blocks
+        run them at high resolution.
         """
-        from .phaseconv import depth_to_space, upconv_embedded_kernel
+        from .phaseconv import (apply_strided_phase, dense_embedded_kernel,
+                                depth_to_space, strided_phase_kernel,
+                                upconv_embedded_kernel)
+        phase = (self.features <= self._PHASE_INTERNAL_MAX_CH
+                 or (self.phase_out and skip is None))
         cx = x.shape[-1]
         cs = 0 if skip is None else skip.shape[-1]
         k1 = _ConvKernel(self.features, cx + cs, name="Conv_0")()
@@ -208,24 +240,36 @@ class _DecoderBlock(nn.Module):
         y = lax.conv_general_dilated(
             x.astype(self.dtype), w_up, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = depth_to_space(y)
+        if not phase:
+            y = depth_to_space(y)
         if skip is not None:
-            w_sk = k1[:, :, cx:].astype(self.dtype)
-            y = y + lax.conv_general_dilated(
-                skip.astype(self.dtype), w_sk, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            k_sk = k1[:, :, cx:]
+            if phase:
+                y = y + apply_strided_phase(
+                    skip.astype(self.dtype),
+                    strided_phase_kernel(k_sk).astype(self.dtype))
+            else:
+                y = y + lax.conv_general_dilated(
+                    skip.astype(self.dtype), k_sk.astype(self.dtype),
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        g = 4 if phase else 1
         y = _EfficientBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         name="BatchNorm_0")(y)
+                         phase_groups=g, name="BatchNorm_0")(y)
         y = nn.relu(y)
         k2 = _ConvKernel(self.features, self.features, name="Conv_1")()
+        k2 = (dense_embedded_kernel(k2) if phase else k2).astype(self.dtype)
         y = lax.conv_general_dilated(
-            y.astype(self.dtype), k2.astype(self.dtype), (1, 1), "SAME",
+            y.astype(self.dtype), k2, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = _EfficientBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         name="BatchNorm_1")(y)
-        return nn.relu(y)
+                         phase_groups=g, name="BatchNorm_1")(y)
+        y = nn.relu(y)
+        if phase and not self.phase_out:
+            y = depth_to_space(y)
+        return y
 
 
 class ResNetEncoderUNet(nn.Module):
@@ -247,11 +291,29 @@ class ResNetEncoderUNet(nn.Module):
         # skips (deepest first, excluding the bottleneck f5): f4,f3,f2,f1,None
         skips = [feats[4], feats[3], feats[2], feats[1], None]
         y = feats[5]
+        # The LAST block (no skip) stays in phase-major space-to-depth form
+        # so the segmentation head — a pathologically shaped high-res conv
+        # with `classes` (usually 1) output channels — runs as a
+        # dense-embedded phase conv at half resolution with 4x the
+        # channels; only the (tiny) logits get depth_to_space'd.
+        phase_tail = self.fused_decoder
         for ch, skip in zip(self.decoder_channels, skips):
-            y = _DecoderBlock(ch, dtype=self.dtype,
-                              fused=self.fused_decoder)(y, skip, train)
-        logits = nn.Conv(self.classes, (3, 3), padding="SAME",
-                         dtype=self.dtype, kernel_init=_conv_init)(y)
+            y = _DecoderBlock(ch, dtype=self.dtype, fused=self.fused_decoder,
+                              phase_out=(phase_tail and skip is None)
+                              )(y, skip, train)
+        if phase_tail:
+            from .phaseconv import dense_embedded_kernel, depth_to_space
+            kh, bh = _ConvKernel(self.classes, self.decoder_channels[-1],
+                                 use_bias=True, name="Conv_0")()
+            logits = lax.conv_general_dilated(
+                y.astype(self.dtype),
+                dense_embedded_kernel(kh).astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            logits = logits + jnp.tile(bh, 4).astype(self.dtype)
+            logits = depth_to_space(logits)
+        else:
+            logits = nn.Conv(self.classes, (3, 3), padding="SAME",
+                             dtype=self.dtype, kernel_init=_conv_init)(y)
         return logits.astype(jnp.float32)
 
 

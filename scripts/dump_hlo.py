@@ -68,10 +68,7 @@ def dump(fused: bool, path: str, hot: list):
 
 
 if __name__ == "__main__":
-    dump(False, "/tmp/hlo_naive.txt",
-         ["fusion.5", "broadcast_in_dim.199", "broadcast_in_dim.198",
-          "fusion.22", "fusion.73", "fusion.402", "fusion.19", "fusion.13",
-          "fusion.43"])
     dump(True, "/tmp/hlo_fused.txt",
-         ["fusion.17", "fusion.89", "copy.45", "copy.44",
-          "convolution_convert_fusion", "fusion.66", "fusion.11"])
+         ["fusion.27", "fusion", "copy.45", "copy.44", "copy.40",
+          "fusion.20", "fusion.88", "fusion.60", "fusion.74", "fusion.39",
+          "fusion.472", "fusion.575", "reshape.23", "copy.23", "copy.39"])

@@ -6,7 +6,7 @@ scanned inference) on the REAL TPU.
    vs numpy fft.
 2. model surface: fused vs naive decoder on TPU (bf16) — outputs close;
    scanned segment_volume_2d vs per-batch oracle.
-3. e2e: 2-epoch CLI-configured training on synthetic volumes via
+3. e2e: 6-epoch CLI-configured training on synthetic volumes via
    UNet2DTrainer -> val_dice must exceed 0.9; artifacts written.
 """
 
@@ -124,7 +124,7 @@ assert np.isfinite(p16).all() and d16 < 0.25, f"bf16 scanned diff {d16}"
 step(f"   bf16 scanned within {d16:.3f} of f32  OK")
 
 # ---------------- 3. e2e training ----------------
-step("3. e2e 2-epoch training on synthetic volumes (TPU)")
+step("3. e2e 6-epoch training on synthetic volumes (TPU)")
 from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
     UNet2DArgs, UNet2DTrainer)
 
@@ -152,13 +152,13 @@ out = os.path.join(tmp, "run")
 args = UNet2DArgs(
     train_list=os.path.join(lists, "train.txt"),
     val_list=os.path.join(lists, "val.txt"),
-    out_dir=out, epochs=2, batch_size=4, lr=1e-3, encoder="resnet18",
+    out_dir=out, epochs=6, batch_size=4, lr=1e-3, encoder="resnet18",
     aug="light", seed=7, amp=True)
 tr = UNet2DTrainer(args)
 tr.run()
 summary = json.load(open(os.path.join(out, "summary.json")))
 best = summary["best"]["val_dice"]
-step(f"   best val_dice after 2 epochs: {best:.4f}")
+step(f"   best val_dice: {best:.4f}")
 assert best > 0.9, f"val_dice {best} too low"
 for f in ("args.json", "history.json", "summary.json",
           "history_epoch.csv", "best.ckpt"):

@@ -180,6 +180,21 @@ def test_phaseconv_primitives_match_reference_lowering():
         apply_phase_conv(space_to_depth(y), dense_phase_kernel(k)))
     assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
 
+    # dense identity (epilogue-free 3x3 SAME embedding — the production
+    # lowering of the phase-space tail: conv2 of the last block + head)
+    from mri_acl_imagesegmentation_adsp_tpu.models.phaseconv import (
+        dense_embedded_kernel)
+    got = depth_to_space(
+        conv3x3(space_to_depth(y), dense_embedded_kernel(k)))
+    assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+    # strided identity: conv3x3 on a HIGH-RES tensor emitting phase-major
+    # output directly (the skip-conv lowering of phase-internal blocks)
+    from mri_acl_imagesegmentation_adsp_tpu.models.phaseconv import (
+        apply_strided_phase, strided_phase_kernel)
+    got = depth_to_space(apply_strided_phase(y, strided_phase_kernel(k)))
+    assert np.allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
     # s2d/d2s roundtrip
     assert np.allclose(np.asarray(depth_to_space(space_to_depth(y))),
                        np.asarray(y))
