@@ -69,6 +69,6 @@ def dump(fused: bool, path: str, hot: list):
 
 if __name__ == "__main__":
     dump(True, "/tmp/hlo_fused.txt",
-         ["fusion.27", "fusion", "copy.45", "copy.44", "copy.40",
-          "fusion.20", "fusion.88", "fusion.60", "fusion.74", "fusion.39",
-          "fusion.472", "fusion.575", "reshape.23", "copy.23", "copy.39"])
+         ["fusion.7", "add_maximum_fusion", "add_divide_fusion",
+          "fusion.601", "fusion.106", "fusion.68", "fusion.40", "copy.53",
+          "fusion.26", "fusion.600", "fusion.597", "reshape.30", "copy.24"])
