@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .grappa import Grappa
 from .cartesian import center_crop_im, flip_im, ifftnd_scaled
-from ..ops.cpair import to_pair, to_complex
+from ..ops.cpair import cabs, cconj, cmul, to_pair, to_complex
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +252,13 @@ def compute_trace_adc_b1500(img_dict: Dict[str, np.ndarray]
 # Full pipeline
 # ---------------------------------------------------------------------------
 
+def _regrid_pair_device(k_pair: jnp.ndarray,
+                        grid_mat: np.ndarray) -> jnp.ndarray:
+    """Regrid a (..., ro, pe, 2) real-pair stack along the readout axis:
+    one MXU matmul for the whole stack (both pair components share it)."""
+    return jnp.einsum("or,...rpt->...opt", jnp.asarray(grid_mat), k_pair)
+
+
 def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
                        coil_sens_maps: np.ndarray, hdr: Dict
                        ) -> Dict[str, np.ndarray]:
@@ -262,38 +269,69 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
     kspace (averages, slices, coils, ro, pe), calibration
     (slices, coils, ro, pe), coil_sens_maps (slices, coils, ro, pe).
 
-    TPU batching: each slice's averages are regridded in one matmul and
-    GRAPPA-filled in one batched conv; the centered iFFT then runs over the
-    whole (averages, coils) stack of the slice in a single device call.
+    DEVICE-RESIDENT (same design as recon/t2.py): the k-space pairs upload
+    to HBM once; the trapezoidal regrid runs as ONE matmul over the whole
+    (averages, slices, coils) stack; GRAPPA hole filling batches all 51
+    averages of a slice in one conv; the centered iFFT, the SENSE-like
+    conj-sensitivity coil combine, and the magnitude all stay on device
+    (chunked over slices to bound HBM transients), and a single
+    (averages, slices, ro, pe) float32 magnitude volume comes back to host
+    for the cheap direction-average / trace / ADC / b1500 math. On
+    remote-attached chips the per-slice host round-trips of the naive
+    formulation dominate wall-clock (measured 33.8 s/slice naive vs the
+    device-resident time in PARITY.md).
     """
-    n_avg, n_slices = kspace.shape[0], kspace.shape[1]
+    n_avg, n_slices, n_coils, n_ro, n_pe = kspace.shape
+    grid_mat = get_grid_mat(hdr).astype(np.float32)
 
     # Kernel geometry comes from the sampling pattern (any one slice).
     pattern_slice = trapezoidal_regridding(kspace[0, 0], hdr)
     grappa = Grappa(np.transpose(pattern_slice, (2, 0, 1)),  # (pe,coils,ro)
                     kernel_size=(5, 5), coil_axis=1)
 
-    weights_per_slice = {}
-    for s in range(n_slices):
-        calib = trapezoidal_regridding(calibration[s], hdr)
-        weights_per_slice[s] = grappa.compute_weights(
-            np.transpose(calib, (2, 0, 1)))
+    # Calibration: regrid ALL slices in one device matmul, then the
+    # per-slice Gram-matrix weight solves (host orchestration, device math).
+    calib_rg = np.asarray(to_complex(_regrid_pair_device(
+        jnp.asarray(to_pair(calibration)), grid_mat)))
+    weights_per_slice = {
+        s: grappa.compute_weights(np.transpose(calib_rg[s], (2, 0, 1)))
+        for s in range(n_slices)}
 
-    combined = np.zeros((n_avg, n_slices) + kspace.shape[3:], dtype=complex)
-    for s in range(n_slices):
-        regridded = regrid_averages(kspace[:, s], hdr)  # (avg, coils, ro, pe)
-        # GRAPPA in the vendored (pe, coils, ro) layout, all averages at once
-        filled = grappa.apply_weights_batch(
-            np.transpose(regridded, (0, 3, 1, 2)), weights_per_slice[s])
-        # centered iFFT over the (pe, ro) plane, coils+averages batched:
-        # pair layout (avg, coils, pe, ro, 2)
-        pair = jnp.asarray(to_pair(np.moveaxis(filled, 2, 1)))
-        img = np.asarray(to_complex(ifftnd_scaled(pair, [-2, -1])))
-        img = np.moveaxis(img, 3, 2)                    # (avg, coils, ro, pe)
-        # SENSE-like combine: sum over coils against conjugate sens maps
-        combined[:, s] = np.sum(img * coil_sens_maps[s].conj(), axis=1)
+    # ONE upload of the full k-space; regrid every average/slice/coil in
+    # one matmul; move to the GRAPPA element layout (pe, coils, ro).
+    k_pair = jnp.asarray(to_pair(kspace))            # (A, S, C, ro, pe, 2)
+    k_rg = _regrid_pair_device(k_pair, grid_mat)
+    k_g = jnp.transpose(k_rg, (0, 1, 4, 2, 3, 5))    # (A, S, pe, C, ro', 2)
 
-    img_vol = np.abs(combined)
+    sens_conj = cconj(jnp.asarray(to_pair(coil_sens_maps)))  # (S,C,ro,pe,2)
+
+    # Per-slice GRAPPA (weights differ), then iFFT + SENSE combine + |.| in
+    # slice chunks so the (A, chunk, C, ro, pe, 2) transients stay bounded.
+    mags = []
+    slice_bytes = n_avg * n_coils * n_ro * n_pe * 2 * 4   # f32 pair stack
+    chunk = max(1, int(400e6 // max(1, slice_bytes)))     # ~400 MB / stage
+    filled_chunk: list = []
+
+    def flush(chunk_slices, s_lo):
+        k_post = jnp.stack(chunk_slices, axis=1)     # (A, cs, pe, C, ro, 2)
+        k_post = jnp.transpose(k_post, (0, 1, 3, 4, 2, 5))
+        img = ifftnd_scaled(k_post, [-2, -1])        # (A, cs, C, ro, pe, 2)
+        sc = sens_conj[s_lo:s_lo + len(chunk_slices)]
+        comb = jnp.sum(cmul(img, sc[None]), axis=2)  # (A, cs, ro, pe, 2)
+        mags.append(cabs(comb))
+
+    start = 0
+    for s in range(n_slices):
+        filled_chunk.append(
+            grappa.apply_weights_pair(k_g[:, s], weights_per_slice[s]))
+        if len(filled_chunk) == chunk or s == n_slices - 1:
+            flush(filled_chunk, start)
+            start = s + 1
+            filled_chunk = []
+
+    # single device->host download of the float32 magnitude volume
+    img_vol = np.concatenate([np.asarray(m) for m in mags], axis=1)
+
     img_dict = compute_averages(img_vol)
     img_dict = compute_trace_adc_b1500(img_dict)
 
