@@ -76,19 +76,22 @@ def timed(fn, *args, reps=8):
 
 
 if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     mask = (rng.random((H, W)) > 0.4).astype(np.float32)
     x = (np.arange(H * W, dtype=np.float32).reshape(H, W) + 1) * mask
     mask_j, x_j = jnp.asarray(mask), jnp.asarray(x)
 
-    t_x = timed(prop_xla, mask_j, x_j)
-    print(f"XLA   : {t_x*1e3:8.2f} ms / {ITERS} iters "
-          f"({t_x/ITERS*1e6:7.1f} us/iter)", flush=True)
-    t_p = timed(prop_pallas, mask_j, x_j)
-    print(f"pallas: {t_p*1e3:8.2f} ms / {ITERS} iters "
-          f"({t_p/ITERS*1e6:7.1f} us/iter)", flush=True)
-    # correctness cross-check
-    a = np.asarray(prop_xla(mask_j, x_j))
-    b = np.asarray(prop_pallas(mask_j, x_j))
-    print("match:", np.array_equal(a, b), flush=True)
+    if mode in ("xla", "both"):
+        t_x = timed(prop_xla, mask_j, x_j)
+        print(f"XLA   : {t_x*1e3:8.2f} ms / {ITERS} iters "
+              f"({t_x/ITERS*1e6:7.1f} us/iter)", flush=True)
+    if mode in ("pallas", "both"):
+        t_p = timed(prop_pallas, mask_j, x_j)
+        print(f"pallas: {t_p*1e3:8.2f} ms / {ITERS} iters "
+              f"({t_p/ITERS*1e6:7.1f} us/iter)", flush=True)
+    if mode == "both":
+        a = np.asarray(prop_xla(mask_j, x_j))
+        b = np.asarray(prop_pallas(mask_j, x_j))
+        print("match:", np.array_equal(a, b), flush=True)
