@@ -260,7 +260,8 @@ def _regrid_pair_device(k_pair: jnp.ndarray,
 
 
 def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
-                       coil_sens_maps: np.ndarray, hdr: Dict
+                       coil_sens_maps: np.ndarray, hdr: Dict,
+                       max_stage_bytes: float = 400e6
                        ) -> Dict[str, np.ndarray]:
     """Full DWI recon: regrid -> GRAPPA -> iFFT -> coil combine ->
     direction averages -> trace/ADC/b1500 -> flip + center crop.
@@ -309,7 +310,7 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
     # slice chunks so the (A, chunk, C, ro, pe, 2) transients stay bounded.
     mags = []
     slice_bytes = n_avg * n_coils * n_ro * n_pe * 2 * 4   # f32 pair stack
-    chunk = max(1, int(400e6 // max(1, slice_bytes)))     # ~400 MB / stage
+    chunk = max(1, int(max_stage_bytes // max(1, slice_bytes)))
     filled_chunk: list = []
 
     def flush(chunk_slices, s_lo):

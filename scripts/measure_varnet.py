@@ -24,7 +24,7 @@ enable_compilation_cache()
 from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
     VarNetArgs, VarNetTrainer)
 
-C, H, W = 12, 320, 320   # coils, readout, phase (masked acquisition)
+C, A, H, W = 12, 3, 320, 320   # coils, averages, readout, phase
 
 
 def main():
@@ -32,12 +32,10 @@ def main():
     args = VarNetArgs(out_dir="/tmp/varnet_bench", num_cascades=10,
                       sens_chans=8, chans=18, amp=True)
     tr = VarNetTrainer(args)
-    k = jnp.asarray(np.stack([
-        rng.standard_normal((C, H, W)).astype(np.float32) * 0.1,
-        rng.standard_normal((C, H, W)).astype(np.float32) * 0.1], -1))[None]
-    e = jnp.asarray(np.stack([
-        rng.standard_normal((C, H, W)).astype(np.float32),
-        rng.standard_normal((C, H, W)).astype(np.float32)], -1))[None]
+    k = jnp.asarray(rng.standard_normal((1, C, A, H, W, 2))
+                    .astype(np.float32) * 0.1)
+    e = jnp.asarray(rng.standard_normal((1, C, A, H, W, 2))
+                    .astype(np.float32))
     t = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))[None]
     mv = jnp.asarray([1.0], jnp.float32)
 
@@ -55,7 +53,7 @@ def main():
         p, o, loss = tr._train_step(p, o, k, e, t, mv)
     float(loss)
     t1 = time.perf_counter()
-    print(f"train step ({C} coils, {H}x{W}, 10 cascades, bf16): "
+    print(f"train step ({C} coils, {A} aves, {H}x{W}, 10 cascades, bf16): "
           f"{(t1-t0)/reps*1e3:.1f} ms/step", flush=True)
 
     out = tr._fwd(p, k, e)

@@ -82,3 +82,32 @@ def test_recon_cli_dwi_case(tmp_path, rng):
             "b1500"} <= keys
     assert b1500.shape == (1, 100, 100)
     assert np.isfinite(b1500).all()
+
+
+def test_dwi_slice_chunking_matches_single_flush(rng):
+    """The device-resident DWI pipeline flushes iFFT+combine in slice
+    chunks to bound HBM transients; a forced 2-slice chunking must be
+    bit-identical to the single-flush path (chunk-boundary alignment of
+    the sensitivity maps and the output concatenation)."""
+    from mri_acl_imagesegmentation_adsp_tpu.recon.dwi import (
+        dwi_reconstruction)
+
+    EPI = {"rampUpTime": 100.0, "rampDownTime": 100.0,
+           "flatTopTime": 400.0, "acqDelayTime": 10.0, "echoSpacing": 1.0}
+    n_avg, n_sl, n_coil, ro, pe = 51, 5, 2, 200, 24
+    ksp = _complex(rng, (n_avg, n_sl, n_coil, ro, pe)) * 0.1
+    mask = np.zeros(pe, bool)
+    mask[::2] = True
+    mask[pe // 2 - 4: pe // 2 + 4] = True
+    ksp[..., ~mask] = 0
+    calib = _complex(rng, (n_sl, n_coil, ro, pe)) * 0.1
+    sens = _complex(rng, (n_sl, n_coil, ro, pe))
+
+    slice_bytes = n_avg * n_coil * ro * pe * 2 * 4
+    out_chunked = dwi_reconstruction(ksp, calib, sens, EPI,
+                                     max_stage_bytes=2 * slice_bytes)
+    out_single = dwi_reconstruction(ksp, calib, sens, EPI,
+                                    max_stage_bytes=1e12)
+    assert set(out_chunked) == set(out_single)
+    for k in out_single:
+        np.testing.assert_array_equal(out_chunked[k], out_single[k])
