@@ -16,6 +16,7 @@ references `python -m src.infer --ckpt ...` — SURVEY.md C24). Capabilities:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import lru_cache
 from typing import Callable, Dict, Optional, Tuple
 
@@ -36,9 +37,15 @@ def _neighbor_stack(vol: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
-# One compiled scan runner per (apply_fn, classes); the strong reference to
-# apply_fn in the value both keeps id() stable and lets us verify identity.
-_SCAN_RUNNERS: Dict[Tuple[int, int], Tuple[Callable, Callable]] = {}
+# One compiled scan runner per (apply_fn, classes). Bounded LRU: each entry
+# pins its apply_fn closure (params in HBM) and jit cache, so unbounded
+# growth — e.g. a fresh lambda per validation epoch — would retain every
+# epoch's parameters and recompile forever. Keeping the most recent few
+# covers the legitimate multi-model case while letting old closures (and
+# their device buffers / compiled executables) be collected.
+_SCAN_RUNNERS: "OrderedDict[Tuple[int, int], Tuple[Callable, Callable]]" = \
+    OrderedDict()
+_SCAN_RUNNERS_MAX = 8
 
 
 def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
@@ -48,10 +55,16 @@ def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
     over batches) instead of one dispatch per batch — on this environment's
     remote-relay backend each dispatch costs ~18 ms, which otherwise
     dominates the ~17 ms of actual device compute per batch.
+
+    NOTE for callers looping over epochs: pass the SAME apply_fn object
+    across calls (bind params via functools.partial once, or re-use one
+    closure) — a fresh lambda per call defeats the cache and pays a full
+    retrace/recompile each time.
     """
     key = (id(apply_fn), classes)
     hit = _SCAN_RUNNERS.get(key)
     if hit is not None and hit[0] is apply_fn:
+        _SCAN_RUNNERS.move_to_end(key)
         return hit[1]
 
     @jax.jit
@@ -64,6 +77,9 @@ def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
         return jax.lax.scan(body, None, x_all)[1]
 
     _SCAN_RUNNERS[key] = (apply_fn, run)
+    _SCAN_RUNNERS.move_to_end(key)
+    while len(_SCAN_RUNNERS) > _SCAN_RUNNERS_MAX:
+        _SCAN_RUNNERS.popitem(last=False)
     return run
 
 

@@ -291,12 +291,16 @@ class ResNetEncoderUNet(nn.Module):
         # skips (deepest first, excluding the bottleneck f5): f4,f3,f2,f1,None
         skips = [feats[4], feats[3], feats[2], feats[1], None]
         y = feats[5]
-        # The LAST block (no skip) stays in phase-major space-to-depth form
-        # so the segmentation head — a pathologically shaped high-res conv
-        # with `classes` (usually 1) output channels — runs as a
-        # dense-embedded phase conv at half resolution with 4x the
-        # channels; only the (tiny) logits get depth_to_space'd.
-        phase_tail = self.fused_decoder
+        # The LAST block, when it has no skip (the standard 5-deep decoder),
+        # stays in phase-major space-to-depth form so the segmentation head
+        # — a pathologically shaped high-res conv with `classes` (usually
+        # 1) output channels — runs as a dense-embedded phase conv at half
+        # resolution with 4x the channels; only the (tiny) logits get
+        # depth_to_space'd. With a shortened decoder (fewer channels than
+        # skips) the last block still consumes a skip and returns high-res,
+        # so the head falls back to the plain conv.
+        n_blocks = min(len(self.decoder_channels), len(skips))
+        phase_tail = self.fused_decoder and skips[n_blocks - 1] is None
         for ch, skip in zip(self.decoder_channels, skips):
             y = _DecoderBlock(ch, dtype=self.dtype, fused=self.fused_decoder,
                               phase_out=(phase_tail and skip is None)

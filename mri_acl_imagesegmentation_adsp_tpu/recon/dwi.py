@@ -93,37 +93,23 @@ def get_grid_mat(epi_params: Dict, os_factor: float = 2,
     return mat / (1e-12 + mat.sum(axis=1, keepdims=True))
 
 
-def _regrid_stack(flat_cols: np.ndarray, grid_mat: np.ndarray) -> np.ndarray:
-    """grid_mat @ flat_cols for complex columns, on device in pair form."""
-    pair = jnp.asarray(to_pair(flat_cols))
-    g = jnp.asarray(grid_mat)
-    out = jnp.stack([g @ pair[..., 0], g @ pair[..., 1]], axis=-1)
-    return np.asarray(to_complex(out))
+def _regrid_pair_device(k_pair: jnp.ndarray,
+                        grid_mat: np.ndarray) -> jnp.ndarray:
+    """Regrid a (..., ro, pe, 2) real-pair stack along the readout axis:
+    one MXU matmul for the whole stack (both pair components share it)."""
+    return jnp.einsum("or,...rpt->...opt", jnp.asarray(grid_mat), k_pair)
 
 
 def trapezoidal_regridding(img: np.ndarray, epi_params: Dict) -> np.ndarray:
     """Regrid (coils, ro, pe) complex k-space along the readout axis.
 
-    The resampling is a single (n_dst, n_src) x (n_src, pe*coils) real-pair
-    matmul on device (MXU), matching vendored regridding.py:74-102.
+    The resampling is a single real-pair matmul on device (MXU), matching
+    vendored regridding.py:74-102.
     """
     grid_mat = get_grid_mat(epi_params).astype(np.float32)
-    x = np.moveaxis(np.asarray(img), 1, 0)          # (ro, pe, coils)
-    cols = x.reshape(x.shape[0], -1)                # (ro, pe*coils)
-    out = _regrid_stack(cols, grid_mat)
-    out = out.reshape(grid_mat.shape[0], *x.shape[1:])
-    return np.moveaxis(out, 0, 1)                   # (coils, ro', pe)
-
-
-def regrid_averages(kspace_avgs: np.ndarray, epi_params: Dict) -> np.ndarray:
-    """Regrid a whole (averages, coils, ro, pe) stack in ONE device matmul:
-    every column of every average shares the same gridding matrix."""
-    grid_mat = get_grid_mat(epi_params).astype(np.float32)
-    x = np.moveaxis(np.asarray(kspace_avgs), 2, 0)  # (ro, avg, coils, pe)
-    cols = x.reshape(x.shape[0], -1)
-    out = _regrid_stack(cols, grid_mat)
-    out = out.reshape(grid_mat.shape[0], *x.shape[1:])
-    return np.moveaxis(out, 0, 2)                   # (avg, coils, ro', pe)
+    out = _regrid_pair_device(jnp.asarray(to_pair(np.asarray(img))),
+                              grid_mat)
+    return np.asarray(to_complex(out))
 
 
 # ---------------------------------------------------------------------------
@@ -252,13 +238,6 @@ def compute_trace_adc_b1500(img_dict: Dict[str, np.ndarray]
 # Full pipeline
 # ---------------------------------------------------------------------------
 
-def _regrid_pair_device(k_pair: jnp.ndarray,
-                        grid_mat: np.ndarray) -> jnp.ndarray:
-    """Regrid a (..., ro, pe, 2) real-pair stack along the readout axis:
-    one MXU matmul for the whole stack (both pair components share it)."""
-    return jnp.einsum("or,...rpt->...opt", jnp.asarray(grid_mat), k_pair)
-
-
 def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
                        coil_sens_maps: np.ndarray, hdr: Dict,
                        max_stage_bytes: float = 400e6
@@ -299,10 +278,15 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
         for s in range(n_slices)}
 
     # ONE upload of the full k-space; regrid every average/slice/coil in
-    # one matmul; move to the GRAPPA element layout (pe, coils, ro).
+    # one matmul; move to the GRAPPA element layout (pe, coils, ro). The
+    # intermediate stacks are each the size of the whole case (~GBs at
+    # protocol scale), so drop each reference as soon as the next stage
+    # exists — only k_g stays live through the slice loop.
     k_pair = jnp.asarray(to_pair(kspace))            # (A, S, C, ro, pe, 2)
     k_rg = _regrid_pair_device(k_pair, grid_mat)
+    del k_pair
     k_g = jnp.transpose(k_rg, (0, 1, 4, 2, 3, 5))    # (A, S, pe, C, ro', 2)
+    del k_rg
 
     sens_conj = cconj(jnp.asarray(to_pair(coil_sens_maps)))  # (S,C,ro,pe,2)
 

@@ -61,8 +61,6 @@ mag, clipped, mask, z = (np.asarray(a) for a in chain(jnp.asarray(k_pair)))
 err = np.abs(mag - np.abs(img)).max()
 assert err < 1e-4, f"recon err {err}"
 assert mask.sum() > 500, f"mask px {mask.sum()}"
-inm = z[np.asarray(mask.astype(bool))[::1, ::1][:64, :64] if False else (np.abs(z) > 0)]
-zm = z[(np.asarray(jnp.asarray(mask), bool))[:64, :64]] if False else None
 step(f"   recon max err {err:.2e}, mask px {int(mask.sum())}  OK")
 
 # constant input (degenerate branch)

@@ -267,3 +267,24 @@ def test_efficient_batchnorm_matches_flax():
         v_f, t, mutable=["batch_stats"])[0] ** 3))(x)
     assert np.allclose(np.asarray(gx_o), np.asarray(gx_f), rtol=1e-4,
                        atol=1e-4)
+
+
+def test_fused_decoder_short_decoder_channels():
+    """A shortened decoder (last block still consumes a skip) must fall
+    back to the plain high-res head under fused_decoder=True and match the
+    naive path (regression: the phase head used to assume the 5-deep
+    decoder's skip-free last block)."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import (
+        ResNetEncoderUNet)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 1)).astype(np.float32))
+    kw = dict(encoder="resnet18", classes=1,
+              decoder_channels=(256, 128, 64, 32))
+    naive = ResNetEncoderUNet(fused_decoder=False, **kw)
+    fused = ResNetEncoderUNet(fused_decoder=True, **kw)
+    v = naive.init(jax.random.PRNGKey(0), x, train=False)
+    y_n = naive.apply(v, x, train=False)
+    y_f = fused.apply(v, x, train=False)
+    assert y_n.shape == y_f.shape == (1, 32, 32, 1)
+    assert np.allclose(np.asarray(y_n), np.asarray(y_f), atol=5e-4)
