@@ -138,6 +138,31 @@ def bench_train(jax, jnp, aug: str, n: int = 256, batch: int = 8) -> float:
     return reps * steps * batch / (t1 - t0)
 
 
+def bench_preprocess(jnp, slices: int = 36) -> float:
+    """Warm slices/s of the full preprocess chain on one 640x368 k-space
+    volume: iFFT magnitude -> percentile clip -> Otsu body mask (conv
+    morphology + segmented-scan connected components) -> resize 320^2 ->
+    z-score in mask (reference mri_preprocess.py:44-146 semantics)."""
+    from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
+        MRIKneePreprocessor)
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((slices, 640, 368), np.float32)
+    img[:, 160:480, 90:280] = 1.0 + 0.2 * rng.standard_normal(
+        (slices, 320, 190)).astype(np.float32)
+    ksp = np.fft.fftshift(np.fft.fft2(
+        np.fft.ifftshift(img, axes=(-2, -1)), norm="ortho"), axes=(-2, -1))
+    pair = np.stack([ksp.real, ksp.imag], -1).astype(np.float32)
+
+    pre = MRIKneePreprocessor(slice_keep=(0.0, 1.0))
+    pre.preprocess_volume_pairs(pair)          # compile + warm
+    t0 = time.perf_counter()
+    out = pre.preprocess_volume_pairs(pair)
+    assert out["tensor"].shape[0] == slices
+    t1 = time.perf_counter()
+    return slices / (t1 - t0)
+
+
 def bench_grappa(slices: int = 10, coils: int = 20, ro: int = 640,
                  pe: int = 368) -> float:
     """Warm per-slice seconds for the full T2 GRAPPA chain (R=3).
@@ -188,6 +213,7 @@ def main() -> None:
         # tuned throughput config (batch 32) alongside the reference batch 8
         extras["train_slices_per_sec_b32_aug_light"] = round(
             bench_train(jax, jnp, "light", batch=32), 2)
+        extras["preprocess_slices_per_sec"] = round(bench_preprocess(jnp), 2)
         extras["grappa_t2_s_per_slice"] = round(bench_grappa(), 2)
     except Exception as exc:  # extras must never sink the headline
         extras["error"] = f"{type(exc).__name__}: {exc}"
