@@ -323,14 +323,30 @@ class ResNetEncoderUNet(nn.Module):
 
 class UNetPlusPlus(nn.Module):
     """smp.UnetPlusPlus-equivalent: nested dense skip decoder over the same
-    ResNet encoder (Zhou et al. 2018). X[i][j] nodes; output from X[0][4]."""
+    ResNet encoder (Zhou et al. 2018). X[i][j] nodes; output from X[0][4].
+
+    ``fused_decoder=True`` (default) applies the phase-space lowerings of
+    models/phaseconv.py where they compose with the nested grid: every
+    node's up2+conv runs as ONE phase-embedded conv at the deep input's
+    resolution (the 4x upsampled tensor is never materialized; the priors'
+    part of the same kernel stays a high-res conv), and the final
+    full-resolution segment (up + double conv at 16 ch + `classes`-channel
+    head) runs ENTIRELY in phase space with one depth_to_space on the
+    logits — the same tail lowering as ResNetEncoderUNet. Parameter trees
+    are identical between the fused and naive paths (explicit Conv_i /
+    BatchNorm_i names reproduce flax's auto-numbering), so checkpoints
+    interchange; f32 equality is pinned in tests.
+    """
     encoder: str = "resnet34"
     classes: int = 1
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: jnp.dtype = jnp.float32
+    fused_decoder: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .phaseconv import (dense_embedded_kernel, depth_to_space,
+                                upconv_embedded_kernel)
         x = x.astype(self.dtype)
         feats = ResNetEncoder(self.encoder, dtype=self.dtype)(x, train)
         # Encoder levels for the nested grid, shallow->deep: /2 /4 /8 /16 /32
@@ -339,35 +355,76 @@ class UNetPlusPlus(nn.Module):
         # channels per decoder row (same schedule as the plain decoder,
         # deepest row first in decoder_channels order)
         row_ch = list(self.decoder_channels)[:depth][::-1]  # shallow->deep
+        fused = self.fused_decoder
+        idx = {"c": 0, "b": 0}
+
+        def bn(y, g=1):
+            m = _EfficientBatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype, phase_groups=g,
+                                    name=f"BatchNorm_{idx['b']}")
+            idx["b"] += 1
+            return m(y)
+
+        def conv_hr(y, ch, use_bias=False):
+            m = nn.Conv(ch, (3, 3), padding="SAME", use_bias=use_bias,
+                        dtype=self.dtype, kernel_init=_conv_init,
+                        name=f"Conv_{idx['c']}")
+            idx["c"] += 1
+            return m(y)
+
+        def kern(ch, cin, use_bias=False):
+            k = _ConvKernel(ch, cin, use_bias=use_bias,
+                            name=f"Conv_{idx['c']}")()
+            idx["c"] += 1
+            return k
+
+        def conv(w, t):
+            return lax.conv_general_dilated(
+                t.astype(self.dtype), w.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         def up2(t):
             return jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
 
+        def node_conv1(priors, deep, ch):
+            """conv3x3 over concat(priors..., up2(deep)): the deep (up)
+            part phase-embedded at low resolution when fused."""
+            if not fused:
+                return conv_hr(jnp.concatenate(priors + [up2(deep)], -1), ch)
+            cp = sum(p.shape[-1] for p in priors)
+            k1 = kern(ch, cp + deep.shape[-1])
+            y = depth_to_space(conv(upconv_embedded_kernel(k1[:, :, cp:]),
+                                    deep))
+            return y + conv(k1[:, :, :cp], jnp.concatenate(priors, -1))
+
         grid = {(i, 0): enc[i] for i in range(depth + 1)}
         for j in range(1, depth + 1):
             for i in range(depth + 1 - j):
-                ups = up2(grid[(i + 1, j - 1)])
-                cat = [grid[(i, k)] for k in range(j)] + [ups]
-                y = jnp.concatenate(cat, axis=-1)
-                # double conv (upsampling already applied to the deep input)
-                for _ in range(2):
-                    y = nn.Conv(row_ch[i], (3, 3), padding="SAME",
-                                use_bias=False, dtype=self.dtype,
-                                kernel_init=_conv_init)(y)
-                    y = _EfficientBatchNorm(use_running_average=not train,
-                                     momentum=0.9, epsilon=1e-5,
-                                     dtype=self.dtype)(y)
-                    y = nn.relu(y)
+                priors = [grid[(i, k)] for k in range(j)]
+                y = node_conv1(priors, grid[(i + 1, j - 1)], row_ch[i])
+                y = nn.relu(bn(y))
+                y = nn.relu(bn(conv_hr(y, row_ch[i])))
                 grid[(i, j)] = y
-        # final node sits at /2; one more decoder step up to full res
-        y = up2(grid[(0, depth)])
-        for _ in range(2):
-            y = nn.Conv(self.decoder_channels[-1], (3, 3), padding="SAME",
-                        use_bias=False, dtype=self.dtype,
-                        kernel_init=_conv_init)(y)
-            y = _EfficientBatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(y)
-            y = nn.relu(y)
-        logits = nn.Conv(self.classes, (3, 3), padding="SAME",
-                         dtype=self.dtype, kernel_init=_conv_init)(y)
+
+        # final segment sits at /2; one more decoder step up to full res +
+        # the segmentation head — fully phase-space when fused (the same
+        # tail lowering as ResNetEncoderUNet's last block).
+        ch_tail = self.decoder_channels[-1]
+        src = grid[(0, depth)]
+        if fused:
+            y = conv(upconv_embedded_kernel(kern(ch_tail, src.shape[-1])),
+                     src)                                 # phase-major
+            y = nn.relu(bn(y, g=4))
+            y = conv(dense_embedded_kernel(kern(ch_tail, ch_tail)), y)
+            y = nn.relu(bn(y, g=4))
+            kh, bh = kern(self.classes, ch_tail, use_bias=True)
+            logits = conv(dense_embedded_kernel(kh), y)
+            logits = logits + jnp.tile(bh, 4).astype(self.dtype)
+            logits = depth_to_space(logits)
+        else:
+            y = up2(src)
+            y = nn.relu(bn(conv_hr(y, ch_tail)))
+            y = nn.relu(bn(conv_hr(y, ch_tail)))
+            logits = conv_hr(y, self.classes, use_bias=True)
         return logits.astype(jnp.float32)

@@ -288,3 +288,43 @@ def test_fused_decoder_short_decoder_channels():
     y_f = fused.apply(v, x, train=False)
     assert y_n.shape == y_f.shape == (1, 32, 32, 1)
     assert np.allclose(np.asarray(y_n), np.asarray(y_f), atol=5e-4)
+
+
+def test_unetpp_fused_matches_naive():
+    """UNet++ phase lowering (per-node phase up-conv + phase-space tail) is
+    a pure relowering: identical parameter tree, f32 outputs and grads
+    equal to the naive path up to fp reassociation."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import UNetPlusPlus
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    naive = UNetPlusPlus("resnet18", classes=1, fused_decoder=False)
+    fused = UNetPlusPlus("resnet18", classes=1, fused_decoder=True)
+    v_n = naive.init(jax.random.PRNGKey(0), x, train=False)
+    v_f = fused.init(jax.random.PRNGKey(0), x, train=False)
+    keys_n = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_n)]
+    keys_f = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_f)]
+    assert keys_n == keys_f, "fused UNet++ changed the variable tree"
+
+    y_n = naive.apply(v_n, x, train=False)
+    y_f = fused.apply(v_n, x, train=False)
+    assert np.allclose(np.asarray(y_n), np.asarray(y_f), atol=5e-4)
+
+    o_n, s_n = naive.apply(v_n, x, train=True, mutable=["batch_stats"])
+    o_f, s_f = fused.apply(v_n, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(o_n), np.asarray(o_f), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_n), jax.tree.leaves(s_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def loss(p, model):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": v_n["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_n = jax.grad(loss)(v_n["params"], naive)
+    g_f = jax.grad(loss)(v_n["params"], fused)
+    for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
