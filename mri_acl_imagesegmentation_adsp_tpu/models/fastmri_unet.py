@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 _conv_init = nn.initializers.he_normal()
 
@@ -34,16 +35,47 @@ class ConvBlock(nn.Module):
 
 
 class TransposeConvBlock(nn.Module):
+    """kernel-2 stride-2 transpose conv + InstanceNorm + LeakyReLU.
+
+    ``fused=True`` lowers the transpose conv as a 1x1 conv emitting the 4
+    phase groups + depth_to_space (models/phaseconv.py) — exactly equal
+    (every output pixel is touched by exactly one tap) with the same
+    "ConvTranspose_0/kernel" parameter, but the MXU sees a dense 1x1
+    contraction instead of XLA's input-dilated lowering."""
     features: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                             use_bias=False, dtype=self.dtype,
-                             kernel_init=_conv_init)(x)
+        if self.fused:
+            from .phaseconv import depth_to_space, tconv_phase_kernel
+            k = self.param_holder(x.shape[-1])
+            x = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                tconv_phase_kernel(k).astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = depth_to_space(x)
+        else:
+            x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                                 use_bias=False, dtype=self.dtype,
+                                 kernel_init=_conv_init,
+                                 name="ConvTranspose_0")(x)
         x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
         return nn.leaky_relu(x, negative_slope=0.2)
+
+    def param_holder(self, in_features: int):
+        class _K(nn.Module):
+            features: int
+            in_features: int
+
+            @nn.compact
+            def __call__(self):
+                return self.param(
+                    "kernel", _conv_init,
+                    (2, 2, self.in_features, self.features), jnp.float32)
+
+        return _K(self.features, in_features, name="ConvTranspose_0")()
 
 
 class FastMRIUnet(nn.Module):

@@ -175,6 +175,50 @@ def dense_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(2, 2, 4 * ci, 4 * co)
 
 
+# ---------------------------------------------------------------------------
+# Transpose-conv relowering (2-D and 3-D): a kernel-2 stride-2 transpose conv
+# touches every output pixel with EXACTLY ONE tap, so it is identically a
+# 1x1(x1) conv emitting the 2^nd phase groups followed by depth_to_space —
+# zero FLOP overhead, and the MXU sees a plain dense contraction instead of
+# XLA's input-dilated scatter lowering.
+# ---------------------------------------------------------------------------
+
+def tconv_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(2,2,Ci,Co) ConvTranspose kernel -> (1,1,Ci,4Co) phase-major.
+
+    flax/lax conv_transpose applies the kernel FLIPPED (output phase (a,b)
+    reads K[1-a, 1-b]), so the taps are reversed before phase-flattening.
+    """
+    ci, co = k.shape[2], k.shape[3]
+    k = k[::-1, ::-1]
+    return jnp.transpose(k, (2, 0, 1, 3)).reshape(1, 1, ci, 4 * co)
+
+
+def space_to_depth3(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,2D,2H,2W,C) -> (B,D,H,W,8C), phase-major (4a+2b+c)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space3(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,D,H,W,8C) phase-major -> (B,2D,2H,2W,C)."""
+    b, d, h, w, f = x.shape
+    c = f // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+def tconv_phase_kernel3(k: jnp.ndarray) -> jnp.ndarray:
+    """(2,2,2,Ci,Co) ConvTranspose kernel -> (1,1,1,Ci,8Co) phase-major
+    (kernel flipped per conv_transpose semantics, see tconv_phase_kernel)."""
+    ci, co = k.shape[3], k.shape[4]
+    k = k[::-1, ::-1, ::-1]
+    return jnp.transpose(k, (3, 0, 1, 2, 4)).reshape(1, 1, 1, ci, 8 * co)
+
+
 def apply_phase_conv(x: jnp.ndarray, w: jnp.ndarray,
                      dtype=jnp.float32) -> jnp.ndarray:
     """Run a lowered (2,2,Cin,4Co) kernel; returns phase-major (B,L,L',4Co).

@@ -328,3 +328,57 @@ def test_unetpp_fused_matches_naive():
     g_f = jax.grad(loss)(v_n["params"], fused)
     for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_f)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_unet3d_fused_up_matches_naive():
+    """The 1x1x1-phase relowering of the kernel-2 stride-2 transpose conv
+    is exactly the transpose conv (every output voxel has one tap):
+    identical variable tree, equal f32 outputs and grads."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet3d import (
+        ResidualUNet3D)
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)).astype(np.float32))
+    kw = dict(classes=1, channels=(8, 16, 32, 48, 64))
+    naive = ResidualUNet3D(fused_up=False, **kw)
+    fused = ResidualUNet3D(fused_up=True, **kw)
+    v_n = naive.init(jax.random.PRNGKey(0), x, train=False)
+    v_f = fused.init(jax.random.PRNGKey(0), x, train=False)
+    keys_n = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_n)]
+    keys_f = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_f)]
+    assert keys_n == keys_f, "fused_up changed the variable tree"
+    y_n = naive.apply(v_n, x, train=False)
+    y_f = fused.apply(v_n, x, train=False)
+    assert np.allclose(np.asarray(y_n), np.asarray(y_f), atol=1e-4)
+
+    g_n = jax.grad(lambda p: jnp.mean(naive.apply(
+        {"params": p}, x, train=False) ** 2))(v_n["params"])
+    g_f = jax.grad(lambda p: jnp.mean(fused.apply(
+        {"params": p}, x, train=False) ** 2))(v_n["params"])
+    for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_f)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fastmri_unet_tconv_fused_matches_naive():
+    """TransposeConvBlock's 1x1-phase relowering equals the transpose conv
+    exactly, with the same ConvTranspose_0/kernel parameter."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.fastmri_unet import (
+        TransposeConvBlock)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 6)).astype(np.float32))
+    naive = TransposeConvBlock(8, fused=False)
+    fused = TransposeConvBlock(8, fused=True)
+    v_n = naive.init(jax.random.PRNGKey(0), x)
+    v_f = fused.init(jax.random.PRNGKey(0), x)
+    keys_n = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_n)]
+    keys_f = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_f)]
+    assert keys_n == keys_f
+    y_n = np.asarray(naive.apply(v_n, x))
+    y_f = np.asarray(fused.apply(v_n, x))
+    assert y_f.shape == (2, 20, 28, 8)
+    assert np.allclose(y_n, y_f, atol=1e-5)
