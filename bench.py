@@ -27,11 +27,15 @@ from typing import Tuple
 import numpy as np
 
 REFERENCE_TRAIN_SLICES_PER_SEC = 70.0  # BASELINE.md derived train-only rate
-BATCH = 32
+BATCH = 32             # per-dispatch (latency-flavored) batch
 SHAPE = (320, 320)
 WARMUP_ITERS = 4
 ITERS = 64
-SCAN_STEPS = 16        # batches per dispatch in the sustained measurement
+# Sustained headline: batch 256 is the measured throughput sweet spot on
+# the v5e (batch sweep 32->512: 2860, 2765, 3964, 4461, 4101, 3976
+# slices/s — the low-channel decoder convs want a large M dimension).
+BATCH_SUSTAINED = 256
+SCAN_STEPS = 4         # batches per dispatch in the sustained measurement
 
 
 def bench_inference(jax, jnp) -> Tuple[float, float]:
@@ -72,9 +76,10 @@ def bench_inference(jax, jnp) -> Tuple[float, float]:
     t1 = time.perf_counter()
     per_dispatch = BATCH * ITERS / (t1 - t0)
 
-    # sustained: SCAN_STEPS batches per dispatch, probabilities stay in HBM
+    # sustained: SCAN_STEPS batches of BATCH_SUSTAINED per dispatch,
+    # probabilities stay in HBM
     x_all = jnp.asarray(rng.standard_normal(
-        (SCAN_STEPS, BATCH, *SHAPE, 1)).astype(np.float32))
+        (SCAN_STEPS, BATCH_SUSTAINED, *SHAPE, 1)).astype(np.float32))
 
     @jax.jit
     def infer_all(params, batch_stats, x_all):
@@ -94,7 +99,7 @@ def bench_inference(jax, jnp) -> Tuple[float, float]:
         probs = infer_all(params, batch_stats, x_all)
     probs.block_until_ready()
     t1 = time.perf_counter()
-    sustained = reps * SCAN_STEPS * BATCH / (t1 - t0)
+    sustained = reps * SCAN_STEPS * BATCH_SUSTAINED / (t1 - t0)
     return sustained, per_dispatch
 
 
