@@ -72,7 +72,12 @@ def otsu_threshold(image: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
                    0, nbins - 1)
     idx = idx - (x < edges[idx])
     idx = idx + ((idx < nbins - 1) & (x >= edges[idx + 1]))
-    counts = jnp.bincount(idx, length=nbins).astype(jnp.float32)
+    # histogram as a compare-reduce (one (pixels, nbins) broadcast compare
+    # summed over pixels) instead of jnp.bincount's scatter-add — scatters
+    # serialize on TPU while this fuses into a dense VPU reduction
+    counts = jnp.sum(
+        (idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :])
+        .astype(jnp.float32), axis=0)
     centers = 0.5 * (edges[:-1] + edges[1:])
 
     w1 = jnp.cumsum(counts)
