@@ -266,6 +266,40 @@ class Grappa:
                                    jnp.asarray(geom_map))
         return jnp.moveaxis(k + vals, coil_slot, ax)
 
+    def apply_weights_pair_multi(self, kspace_pair: jnp.ndarray,
+                                 weights_per_slice) -> jnp.ndarray:
+        """Fill the holes of MANY slices (each with its own weight set but
+        the shared sampling geometry) in ONE device dispatch.
+
+        kspace_pair: (S, B, ...) real-pair stack — slice axis first, then
+        the per-slice batch (e.g. averages), element layout as in
+        apply_weights_pair. weights_per_slice: sequence/dict of per-slice
+        weight dicts (len S). On remote-attached chips the per-slice
+        dispatch chain dominates the conv work, so collapsing S dispatches
+        into one vmapped call is a large wall-clock win.
+        """
+        s = kspace_pair.shape[0]
+        elem_rank = kspace_pair.ndim - 3   # dims between (S, B) and pair
+        ax = 2 + (self.coil_axis % elem_rank)
+        coil_slot = kspace_pair.ndim - 2
+        k = jnp.moveaxis(kspace_pair, ax, coil_slot)  # (S, B, X, Y, nc, 2)
+        kx, ky = self.kernel_size
+        kx2, ky2 = kx // 2, ky // 2
+        nc = int(k.shape[-2])
+        kpad = jnp.pad(k, ((0, 0), (0, 0), (kx2, kx2), (ky2, ky2),
+                           (0, 0), (0, 0)))
+        geom_map = None
+        kernel_stack = []
+        for si in range(s):
+            w = weights_per_slice[si]
+            gm, kern = self._conv_materials(w, nc)
+            geom_map = gm if geom_map is None else geom_map
+            kernel_stack.append(kern)
+        kernels = jnp.asarray(np.stack(kernel_stack))   # (S, G, kx, ky, ...)
+        vals = jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None))(
+            kpad, kernels, jnp.asarray(geom_map))
+        return jnp.moveaxis(k + vals, coil_slot, ax)
+
     def apply_weights_batch(self, kspaces: np.ndarray,
                             weights: Dict[int, np.ndarray]) -> np.ndarray:
         """Fill the holes of a STACK of k-spaces sharing one sampling

@@ -108,17 +108,30 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     else:
         padding = float(hdr)
 
-    # ONE upload, in the GRAPPA element layout (avg, slice, pe, coils, ro)
+    # ONE upload, in the GRAPPA element layout (avg, slice, pe, coils, ro).
+    # Slices fill through the slice-vmapped multi apply in chunks — the
+    # per-slice dispatch chain, not the conv work, dominated wall-clock on
+    # the remote-attached chip; the chunk bound keeps the vmapped conv's
+    # per-geometry output transients (~G x slice-size each) inside HBM.
     k_pair = jnp.asarray(to_pair(np.transpose(kspace_data, (0, 1, 4, 2, 3))))
     avg02 = jnp.asarray([0, 2])
-    filled_slices = []
-    for s in range(num_slices):
-        # averages 0 and 2 share weight set 1: ONE batched device conv
-        f02 = grappa_obj.apply_weights_pair(k_pair[avg02, s], wd[s])
-        f1 = grappa_obj_2.apply_weights_pair(k_pair[1:2, s], wd2[s])
-        filled_slices.append(
-            jnp.concatenate([f02[:1], f1, f02[1:]], axis=0))
-    k_post = jnp.stack(filled_slices, axis=1)      # (3, S, pe, C, ro, 2)
+    g = max(1, len(grappa_obj.kernel_var_dict["patch_indices"]))
+    slice_bytes = 2 * num_coils * num_ro * num_pe * 2 * 4   # 2 avgs, pair
+    chunk = max(1, int(2e9 // max(1, slice_bytes * (2 * g + 2))))
+    f02_parts, f1_parts = [], []
+    for lo in range(0, num_slices, chunk):
+        hi = min(lo + chunk, num_slices)
+        k02 = jnp.transpose(k_pair[avg02, lo:hi],
+                            (1, 0, 2, 3, 4, 5))    # (cs, 2, pe, C, ro, 2)
+        f02_parts.append(grappa_obj.apply_weights_pair_multi(
+            k02, [wd[s] for s in range(lo, hi)]))
+        k1 = jnp.transpose(k_pair[1:2, lo:hi], (1, 0, 2, 3, 4, 5))
+        f1_parts.append(grappa_obj_2.apply_weights_pair_multi(
+            k1, [wd2[s] for s in range(lo, hi)]))
+    f02 = jnp.concatenate(f02_parts, axis=0)       # (S, 2, pe, C, ro, 2)
+    f1 = jnp.concatenate(f1_parts, axis=0)
+    k_post = jnp.stack([f02[:, 0], f1[:, 0], f02[:, 1]],
+                       axis=0)                     # (3, S, pe, C, ro, 2)
     k_post = jnp.transpose(k_post, (0, 1, 3, 4, 2, 5))  # (3, S, C, ro, pe, 2)
 
     if padding:
