@@ -40,6 +40,7 @@ from ..ops import (
     ifft2c_magnitude, ifft2c_pair, rss_complex, percentile_clip, body_mask,
     resize_bilinear, zscore_in_mask, preview_01,
 )
+from ..ops.imageops import quantile_from_sorted
 from ..ops.restoration import n4_bias_correction, nl_means_denoise
 
 
@@ -73,11 +74,20 @@ class MRIKneePreprocessor:
     # Core jitted slice pipeline
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnames=("self", "from_kspace"))
-    def _slice_chain(self, x: jnp.ndarray, from_kspace: bool):
+    @partial(jax.jit, static_argnames=("self", "from_kspace", "exact_cc"))
+    def _slice_chain(self, x: jnp.ndarray, from_kspace: bool,
+                     exact_cc: bool = False):
         """(H,W) image, (H,W,2) single-coil pair, or (C,H,W,2) multi-coil
-        pair -> (img_z, img_01, mask). Multi-coil recon = per-coil centered
-        iFFT + RSS (BASELINE configs[1]), fused into the same jit."""
+        pair -> (img_z, img_01, mask, cc_ok). Multi-coil recon = per-coil
+        centered iFFT + RSS (BASELINE configs[1]), fused into the same jit.
+
+        ONE jnp.sort of the slice serves both the percentile clip and the
+        Otsu histogram (searchsorted formulation). Connected components run
+        a fixed sweep count with an on-device convergence certificate
+        ``cc_ok``; callers recompute any unconverged slice with
+        ``exact_cc=True`` (while_loop fixpoint — always exact, never
+        batched, so the vmapped path stays cheap to compile).
+        """
         if from_kspace:
             if x.ndim == 4:                       # (C, H, W, 2) multi-coil
                 img = rss_complex(ifft2c_pair(x), axis=0).astype(jnp.float32)
@@ -85,8 +95,18 @@ class MRIKneePreprocessor:
                 img = ifft2c_magnitude(x)
         else:
             img = x.astype(jnp.float32)
-        img = percentile_clip(img, *self.clip_percentiles)
-        mk = body_mask(img)
+        pmin, pmax = self.clip_percentiles
+        srt = jnp.sort(img.ravel())
+        lo = quantile_from_sorted(srt, pmin)
+        hi = quantile_from_sorted(srt, pmax)
+        img = jnp.clip(img, lo, hi)
+        if exact_cc:
+            mk = body_mask(img, cc_sweeps=None,
+                           sorted_values=jnp.clip(srt, lo, hi))
+            cc_ok = jnp.bool_(True)
+        else:
+            mk, cc_ok = body_mask(img, sorted_values=jnp.clip(srt, lo, hi),
+                                  with_cc_flag=True)
         if self.use_n4:
             img = n4_bias_correction(img, mk)
         if self.use_denoise:
@@ -96,27 +116,47 @@ class MRIKneePreprocessor:
                 ).astype(jnp.uint8)
         img_z = zscore_in_mask(img_r, mk_r)
         img_01 = preview_01(img_r, mk_r)
-        return img_z, img_01, mk_r
+        return img_z, img_01, mk_r, cc_ok
 
     @partial(jax.jit, static_argnames=("self", "from_kspace"))
     def _volume_chain_vmapped(self, x: jnp.ndarray, from_kspace: bool):
-        """vmapped slice chain over the leading slice axis (one device call
-        per volume). NOTE: compiling the batched connected-components
-        while_loop is very expensive on some backends (the axon remote
-        compiler spends tens of minutes on it), so the default volume path
-        loops the once-compiled slice chain instead — same math, one compile
-        per (H, W) shape, ~100 us dispatch per slice."""
+        """vmapped slice chain over the leading slice axis — a whole volume
+        is ONE device dispatch. This is the default volume path: the chain
+        is while_loop-free (connected components run a FIXED sweep count
+        with a per-slice convergence certificate, ops/maskops.py
+        BODY_MASK_CC_SWEEPS), so the batched program compiles cheaply even
+        on remote backends where a batched while_loop is pathologically
+        expensive."""
         return jax.vmap(lambda s: self._slice_chain(s, from_kspace))(x)
 
     def _volume_chain(self, x: jnp.ndarray, from_kspace: bool,
-                      batch_slices: bool = False):
+                      batch_slices: bool = True):
+        """Run the chain over a volume; returns (img_z, img_01, mask) with
+        the connected-component certificates already resolved (any
+        unconverged slice — adversarial topology only — is recomputed
+        through the exact while_loop path)."""
         if batch_slices:
-            return self._volume_chain_vmapped(x, from_kspace)
-        outs = [self._slice_chain(x[s], from_kspace)
-                for s in range(x.shape[0])]
-        img_z = jnp.stack([o[0] for o in outs])
-        img_01 = jnp.stack([o[1] for o in outs])
-        mk = jnp.stack([o[2] for o in outs])
+            img_z, img_01, mk, cc_ok = self._volume_chain_vmapped(
+                x, from_kspace)
+        else:
+            # loop the once-compiled per-slice chain (one compile per
+            # (H, W) shape; used only when a caller opts out of batching)
+            outs = [self._slice_chain(x[s], from_kspace)
+                    for s in range(x.shape[0])]
+            img_z = jnp.stack([o[0] for o in outs])
+            img_01 = jnp.stack([o[1] for o in outs])
+            mk = jnp.stack([o[2] for o in outs])
+            cc_ok = jnp.stack([o[3] for o in outs])
+        ok = np.asarray(cc_ok)
+        if ok.all():
+            return img_z, img_01, mk
+        img_z = np.asarray(img_z)
+        img_01 = np.asarray(img_01)
+        mk = np.asarray(mk)
+        for s in np.flatnonzero(~ok):
+            z, p, m, _ = self._slice_chain(x[s], from_kspace, exact_cc=True)
+            img_z[s], img_01[s], mk[s] = (
+                np.asarray(z), np.asarray(p), np.asarray(m))
         return img_z, img_01, mk
 
     # hashable for jit static self (equality must compare the actual config,
@@ -149,9 +189,16 @@ class MRIKneePreprocessor:
         x, src, meta = self._normalize_record_input(record)
         if src == "kspace":
             arr = jnp.asarray(self._pairify(x))
-            img_z, img_01, mk = self._slice_chain(arr, True)
+            img_z, img_01, mk, cc_ok = self._slice_chain(arr, True)
+            if not bool(np.asarray(cc_ok)):
+                img_z, img_01, mk, _ = self._slice_chain(arr, True,
+                                                         exact_cc=True)
         else:
-            img_z, img_01, mk = self._slice_chain(jnp.asarray(x), False)
+            arr = jnp.asarray(x)
+            img_z, img_01, mk, cc_ok = self._slice_chain(arr, False)
+            if not bool(np.asarray(cc_ok)):
+                img_z, img_01, mk, _ = self._slice_chain(arr, False,
+                                                         exact_cc=True)
         return {
             "img_z": np.asarray(img_z, dtype=np.float32),
             "img_01": np.asarray(img_01, dtype=np.float32),
@@ -214,6 +261,50 @@ class MRIKneePreprocessor:
         """Bulk k-space path: (S,H,W,2) pairs through the keep band + chain."""
         return self._preprocess_volume(jnp.asarray(kspace_pair), True,
                                        "kspace", metas)
+
+    def preprocess_volumes_pairs(self, kspace_pairs,
+                                 metas_list: Optional[List] = None
+                                 ) -> List[Dict[str, Any]]:
+        """Pipelined bulk path over MANY volumes (each (S,H,W,2) pairs).
+
+        Every volume's upload + one-dispatch chain is enqueued before any
+        result is pulled back, so host->device uploads, device compute and
+        device->host downloads overlap across volumes — on remote-attached
+        chips the link, not the chip, bounds corpus preprocessing, and
+        overlapping hides the compute entirely. Results are identical to
+        per-volume ``preprocess_volume_pairs`` calls (same chain, same
+        keep band, same exact-CC fallback).
+        """
+        metas_list = metas_list or [None] * len(kspace_pairs)
+        staged = []
+        for pair, metas in zip(kspace_pairs, metas_list):
+            stack = jnp.asarray(pair)
+            ns = stack.shape[0]
+            s0, s1 = self._keep_band(ns)
+            out = self._volume_chain_vmapped(stack[s0:s1], True)
+            staged.append((stack, s0, s1, metas, out))
+        results = []
+        for stack, s0, s1, metas, (img_z, img_01, mk, cc_ok) in staged:
+            ok = np.asarray(cc_ok)
+            img_z = np.asarray(img_z, np.float32)
+            img_01 = np.asarray(img_01, np.float32)
+            mk = np.asarray(mk, np.uint8)
+            for s in np.flatnonzero(~ok):      # adversarial topology only
+                z, p, m, _ = self._slice_chain(stack[s0 + s], True,
+                                               exact_cc=True)
+                img_z[s], img_01[s], mk[s] = (
+                    np.asarray(z), np.asarray(p), np.asarray(m))
+            metas = metas[s0:s1] if metas else [{} for _ in range(s1 - s0)]
+            results.append({
+                "tensor": img_z[:, None],
+                "preview": img_01,
+                "mask": mk,
+                "indices": [m.get("slice_idx", s0 + i)
+                            for i, m in enumerate(metas)],
+                "sources": ["kspace"] * (s1 - s0),
+                "metas": metas,
+            })
+        return results
 
     def preprocess_volume_images(self, images: np.ndarray,
                                  metas: Optional[List[dict]] = None,

@@ -41,6 +41,21 @@ def percentile_clip(img: jnp.ndarray, pmin: float, pmax: float) -> jnp.ndarray:
     return jnp.clip(img, lo, hi)
 
 
+def quantile_from_sorted(sorted_vals: jnp.ndarray, q: float) -> jnp.ndarray:
+    """np.percentile (linear interpolation) from an ALREADY-SORTED 1-D
+    array. q is a static Python float, so the two order-statistic indices
+    are compile-time constants — no sort, no dynamic gather. Lets one
+    jnp.sort serve both the percentile clip and the Otsu histogram in the
+    fused preprocess chain."""
+    n = sorted_vals.shape[-1]
+    pos = float(q) / 100.0 * (n - 1)
+    i0 = int(np.floor(pos))
+    i1 = min(i0 + 1, n - 1)
+    frac = np.float32(pos - i0)
+    return (sorted_vals[..., i0] * (1.0 - frac)
+            + sorted_vals[..., i1] * frac)
+
+
 @lru_cache(maxsize=64)
 def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) bilinear weight matrix with torch align_corners=False rule."""

@@ -120,6 +120,80 @@ def test_body_mask_matches_frozen_goldens():
         assert abs(th - float(z[f"otsu_{i}"])) < 1e-6
 
 
+def test_fixed_sweeps_reach_fixpoint(rng):
+    """body_mask's FIXED connected-component sweep count (the while_loop-free
+    formulation the vmapped volume chain needs) must land on the exact
+    fixpoint the dynamic while_loop reaches on the frozen goldens AND fresh
+    synthetic slices, with the on-device convergence certificate True."""
+    import pathlib
+    import jax
+    bm = jax.jit(body_mask, static_argnames=("cc_sweeps", "with_cc_flag"))
+    z = np.load(pathlib.Path(__file__).parent / "goldens"
+                / "preprocess_goldens.npz")
+    imgs = [z[f"img_{i}"] for i in range(8)]
+    imgs += [synthetic_knee(rng) for _ in range(4)]
+    for img in imgs:
+        exact = np.asarray(bm(jnp.asarray(img), cc_sweeps=None))
+        fixed, ok = bm(jnp.asarray(img), with_cc_flag=True)  # default bound
+        np.testing.assert_array_equal(np.asarray(fixed), exact)
+        assert bool(np.asarray(ok)), "certificate must confirm convergence"
+
+
+def test_cc_certificate_catches_adversarial_topology():
+    """A spiral corridor needs many row/column turns — the fixed sweep
+    count must REPORT non-convergence (certificate False) instead of
+    silently returning a wrong partition, and the exact while_loop path
+    must still label it as one component."""
+    import jax
+    from mri_acl_imagesegmentation_adsp_tpu.ops.maskops import (
+        BODY_MASK_CC_SWEEPS)
+    h = w = 65
+    m = np.zeros((h, w), bool)
+    # serpentine: horizontal bars joined alternately left/right — ONE
+    # component whose min label needs ~#bars alternating row/col sweeps
+    for r in range(0, h, 2):
+        m[r, :] = True
+    for i, r in enumerate(range(0, h - 2, 2)):
+        m[r + 1, w - 1 if i % 2 == 0 else 0] = True
+    lab = jax.jit(label_components, static_argnames=("sweeps", "check"))
+    _, ok = lab(jnp.asarray(m), sweeps=BODY_MASK_CC_SWEEPS, check=True)
+    assert not bool(np.asarray(ok)), "serpentine must be flagged unconverged"
+    # exact path still produces one single component
+    lbl = np.asarray(lab(jnp.asarray(m)))
+    assert len(np.unique(lbl[m])) == 1
+
+
+def test_otsu_adversarial_goldens():
+    """Extreme-histogram fixtures (two-spike, bin-edge-exact, single
+    outlier, crushed dynamic range — tests/make_goldens.py), frozen from the
+    documented threshold_otsu algorithm in float64. Pins the device f32
+    histogram's bin assignment where it is most fragile. skimage itself is
+    not installable in this image; the residual risk is oracle-level, not
+    implementation-level (see PARITY.md)."""
+    import pathlib
+    import jax
+    otsu_j = jax.jit(otsu_threshold)
+    bm = jax.jit(body_mask)
+    z = np.load(pathlib.Path(__file__).parent / "goldens"
+                / "otsu_adversarial.npz")
+    names = sorted(k[len("otsu_"):] for k in z.files if k.startswith("otsu_"))
+    assert len(names) == 8
+    otsu_sorted = jax.jit(lambda im, s: otsu_threshold(im, sorted_values=s))
+    for name in names:
+        img = z[f"img_{name}"]
+        got = float(otsu_j(jnp.asarray(img)))
+        expect = float(z[f"otsu_{name}"])
+        assert abs(got - expect) < 1e-6, (name, got, expect)
+        # the searchsorted-histogram formulation (preprocess fast path)
+        # must agree bin-exactly with the compare-reduce one
+        got_s = float(otsu_sorted(jnp.asarray(img),
+                                  jnp.sort(jnp.asarray(img).ravel())))
+        assert abs(got_s - expect) < 1e-6, (name, got_s, expect)
+        got_mask = np.asarray(bm(jnp.asarray(img)))
+        np.testing.assert_array_equal(got_mask, z[f"mask_{name}"],
+                                      err_msg=name)
+
+
 def test_body_mask_constant_image_is_empty():
     img = np.full((64, 64), 3.0, np.float32)
     got = np.asarray(body_mask(jnp.asarray(img)))
