@@ -68,6 +68,27 @@ def to_pair(x) -> jnp.ndarray:
     return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
 
 
+def to_pair_device(x) -> jnp.ndarray:
+    """Host complex/real ndarray -> DEVICE (..., 2) float32 pair with zero
+    host-side copies where possible.
+
+    complex64 memory is already interleaved (re, im), so a C-contiguous
+    complex64 array IS its float32 pair array under ``.view`` — the upload
+    streams the original buffer untouched. At protocol scale this matters a
+    lot: the stack-based host conversion of a ~1 GB T2 case costs ~30 s of
+    single-threaded NumPy before the device sees a byte (measured,
+    scripts/measure_grappa_stages.py); callers should upload the contiguous
+    layout and do any axis reordering ON DEVICE.
+    """
+    x = np.asarray(x)
+    if x.dtype == np.complex64 and x.flags.c_contiguous:
+        return jnp.asarray(x.view(np.float32).reshape(*x.shape, 2))
+    if np.iscomplexobj(x):
+        return jnp.asarray(to_pair_np(x))
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+
+
 def to_pair_np(x: np.ndarray) -> np.ndarray:
     """Host-side complex (or real) ndarray -> float32 (..., 2) pair.
 

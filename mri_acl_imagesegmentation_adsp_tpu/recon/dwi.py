@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .grappa import Grappa
 from .cartesian import center_crop_im, flip_im, ifftnd_scaled
-from ..ops.cpair import cabs, cconj, cmul, to_pair, to_complex
+from ..ops.cpair import cabs, cconj, cmul, to_pair, to_pair_device, to_complex
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +107,7 @@ def trapezoidal_regridding(img: np.ndarray, epi_params: Dict) -> np.ndarray:
     vendored regridding.py:74-102.
     """
     grid_mat = get_grid_mat(epi_params).astype(np.float32)
-    out = _regrid_pair_device(jnp.asarray(to_pair(np.asarray(img))),
+    out = _regrid_pair_device(to_pair_device(np.ascontiguousarray(img)),
                               grid_mat)
     return np.asarray(to_complex(out))
 
@@ -269,26 +269,26 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
     grappa = Grappa(np.transpose(pattern_slice, (2, 0, 1)),  # (pe,coils,ro)
                     kernel_size=(5, 5), coil_axis=1)
 
-    # Calibration: regrid ALL slices in one device matmul, then the
-    # per-slice Gram-matrix weight solves (host orchestration, device math).
+    # Calibration: regrid ALL slices in one device matmul, then ALL
+    # per-slice Gram-matrix weight solves in one batched device call.
     calib_rg = np.asarray(to_complex(_regrid_pair_device(
-        jnp.asarray(to_pair(calibration)), grid_mat)))
-    weights_per_slice = {
-        s: grappa.compute_weights(np.transpose(calib_rg[s], (2, 0, 1)))
-        for s in range(n_slices)}
+        to_pair_device(np.ascontiguousarray(calibration)), grid_mat)))
+    weights_per_slice = dict(enumerate(grappa.compute_weights_batch(
+        np.transpose(calib_rg, (0, 3, 1, 2)))))
 
     # ONE upload of the full k-space; regrid every average/slice/coil in
     # one matmul; move to the GRAPPA element layout (pe, coils, ro). The
     # intermediate stacks are each the size of the whole case (~GBs at
     # protocol scale), so drop each reference as soon as the next stage
     # exists — only k_g stays live through the slice loop.
-    k_pair = jnp.asarray(to_pair(kspace))            # (A, S, C, ro, pe, 2)
+    k_pair = to_pair_device(np.ascontiguousarray(kspace))  # (A,S,C,ro,pe,2)
     k_rg = _regrid_pair_device(k_pair, grid_mat)
     del k_pair
     k_g = jnp.transpose(k_rg, (0, 1, 4, 2, 3, 5))    # (A, S, pe, C, ro', 2)
     del k_rg
 
-    sens_conj = cconj(jnp.asarray(to_pair(coil_sens_maps)))  # (S,C,ro,pe,2)
+    sens_conj = cconj(to_pair_device(
+        np.ascontiguousarray(coil_sens_maps)))       # (S, C, ro, pe, 2)
 
     # Chunked over slices so the (A, chunk, C, ro, pe, 2) transients stay
     # bounded: each chunk runs ONE slice-vmapped GRAPPA dispatch (weights

@@ -22,6 +22,7 @@ geometry at once — replacing the reference's per-hole Python loop, its
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import numpy as np
@@ -30,17 +31,36 @@ import jax.numpy as jnp
 from jax import lax
 from numpy.lib.stride_tricks import sliding_window_view
 
-from ..ops.cpair import to_pair, to_complex, csolve
+from ..ops.cpair import to_pair, to_pair_device, to_complex, csolve
 
 _f32 = np.float32
 
 
-@jax.jit
-def _gram(w_pair: jnp.ndarray) -> jnp.ndarray:
-    """G = W^H W for a pair matrix W (N, K, 2) -> (K, K, 2)."""
-    wr, wi = w_pair[..., 0], w_pair[..., 1]
+@partial(jax.jit, static_argnums=(1, 2))
+def _gram_stack(calib_pair: jnp.ndarray, kx: int, ky: int) -> jnp.ndarray:
+    """Per-slice window Gram matrices, windows extracted ON DEVICE.
+
+    calib_pair: (S, Xp, Yp, nc, 2) zero-padded ACS stack. Returns
+    (S, K, K, 2) with K = kx*ky*nc: G_s = W_s^H W_s over the slice's
+    sliding (kx, ky, nc) windows, columns flattened in (kx, ky, nc) order
+    (matching numpy's sliding_window_view flattening). One patches op +
+    one einsum per component — the ACS never round-trips through host
+    window materialization (which dominated the per-slice formulation:
+    ~82 MB of host windows uploaded per solve at protocol scale).
+    """
+    s, xp, yp, nc, _ = calib_pair.shape
+    x = jnp.concatenate([calib_pair[..., 0], calib_pair[..., 1]], axis=-1)
+    patches = lax.conv_general_dilated_patches(
+        x, (kx, ky), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (S, X, Y, 2nc*kx*ky)
+    px, py = patches.shape[1], patches.shape[2]
+    # feature order is channel-major (c, ix, iy) -> reorder to (ix, iy, c)
+    patches = patches.reshape(s, px * py, 2 * nc, kx, ky)
+    patches = jnp.transpose(patches, (0, 1, 3, 4, 2))
+    wr = patches[..., :nc].reshape(s, px * py, kx * ky * nc)
+    wi = patches[..., nc:].reshape(s, px * py, kx * ky * nc)
     hi = jax.lax.Precision.HIGHEST
-    mm = lambda a, b: jnp.matmul(a.T, b, precision=hi)
+    mm = lambda a, b: jnp.einsum("spk,spl->skl", a, b, precision=hi)
     return jnp.stack([mm(wr, wr) + mm(wi, wi), mm(wr, wi) - mm(wi, wr)],
                      axis=-1)
 
@@ -59,41 +79,50 @@ def _solve_weights_batched(shs_pair: jnp.ndarray, sht_pair: jnp.ndarray,
     return jnp.transpose(w, (0, 2, 1, 3))   # (G, nc, ns, 2)
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(3,))
 def _apply_kernels_conv(kpad_pair: jnp.ndarray, kernels: jnp.ndarray,
-                        geom_map: jnp.ndarray):
-    """Fill every hole of every geometry with one batched convolution.
+                        geom_map: jnp.ndarray, bounds: tuple):
+    """Fill every hole of every geometry with per-geometry convolutions
+    restricted to the geometry's hole bounding box.
 
     GRAPPA weight application IS a (kx, ky) convolution over the coil
     channels: recon[b, x, y, c] = sum_{cell, u} W[c, cell, u] *
     kpad[b, x+ox, y+oy, u]. Complex multiply folds into a real conv over
     2*nc channels with the block kernel [[Wr, Wi], [-Wi, Wr]]. Per-hole
-    gathers (index-bound, slow on TPU) become pure MXU work; each pixel
-    then selects its geometry's output via geom_map (H*W one-hot compare).
+    gathers (index-bound, slow on TPU) become pure MXU work.
+
+    Real sampling masks produce ~2 INTERIOR geometries plus a dozen BORDER
+    geometries whose holes live only in 2-pixel strips (the 5x5 window
+    overlapping the zero pad): convolving every geometry over the full
+    image and one-hot-mixing G copies cost ~G x the useful work (measured
+    ~20 s/case at G=15, protocol size). Restricting each geometry's conv
+    to its static bounding box (host-known from the sampling mask) makes
+    border geometries near-free; overlaps resolve exactly via the
+    per-position geom_map select before accumulation.
 
     kpad_pair: (B, Xp, Yp, nc, 2) zero-padded k-space stack — every element
       shares the sampling pattern and the weight set (e.g. the averages of
       one T2/DWI slice), so one conv covers them all.
     kernels: (G, kx, ky, 2nc, 2nc) per-geometry block kernels.
     geom_map: (X, Y) int32, geometry index per position (-1 = not a hole).
+    bounds: static tuple of per-geometry (x0, x1, y0, y1) hole bounding
+      boxes in geom_map coordinates (half-open).
     Returns (B, X, Y, nc, 2) hole values (zeros where geom_map < 0).
     """
     b, xp, yp, nc, _ = kpad_pair.shape
-    g_count = kernels.shape[0]
+    kx, ky = kernels.shape[1], kernels.shape[2]
     # channels-last real image with re/im interleaved as 2nc channels
     x = jnp.concatenate([kpad_pair[..., 0], kpad_pair[..., 1]], axis=-1)
-
-    def conv_one(k):
-        return lax.conv_general_dilated(
-            x, k, window_strides=(1, 1), padding="VALID",
+    out = jnp.zeros((b, xp - kx + 1, yp - ky + 1, 2 * nc), x.dtype)
+    for g, (x0, x1, y0, y1) in enumerate(bounds):
+        xs = x[:, x0:x1 + kx - 1, y0:y1 + ky - 1, :]
+        o = lax.conv_general_dilated(
+            xs, kernels[g], window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST)       # (B, X, Y, 2nc)
-
-    outs = jax.vmap(conv_one)(kernels)                 # (G, B, X, Y, 2nc)
-    sel = jax.nn.one_hot(geom_map, g_count, axis=0,
-                         dtype=outs.dtype)             # (G, X, Y)
-    mixed = jnp.einsum("gbxyc,gxy->bxyc", outs, sel)
-    re, im = mixed[..., :nc], mixed[..., nc:]
+            precision=jax.lax.Precision.HIGHEST)   # (B, x1-x0, y1-y0, 2nc)
+        sel = (geom_map[x0:x1, y0:y1] == g).astype(o.dtype)
+        out = out.at[:, x0:x1, y0:y1, :].add(o * sel[None, :, :, None])
+    re, im = out[..., :nc], out[..., nc:]
     return jnp.stack([re, im], axis=-1)
 
 
@@ -168,30 +197,47 @@ class Grappa:
     # ------------------------------------------------------------------
 
     def compute_weights(self, calib: np.ndarray) -> Dict[int, np.ndarray]:
-        """Per-geometry weights from ACS data.
+        """Per-geometry weights from ACS data (single-slice wrapper over
+        the batched path — see compute_weights_batch)."""
+        return self.compute_weights_batch(np.asarray(calib)[None])[0]
+
+    def compute_weights_batch(self, calibs: np.ndarray
+                              ) -> list:
+        """Per-geometry weights for a STACK of calibration slices in a
+        fixed number of device dispatches (2), independent of slice count.
+
+        calibs: (S, ...) where each element matches compute_weights input
+        (coil axis at ``self.coil_axis`` of the ELEMENT). Returns a list of
+        S weight dicts {geometry_id: (nc, ns) complex}.
 
         TPU formulation: every geometry's normal equations are submatrices
-        of ONE Gram matrix G = W^H W over the full (kx*ky*nc)-column window
-        matrix (the center-cell targets are themselves columns of W), so
-        the ACS windows hit the MXU exactly once; per-geometry systems are
-        then zero-padded to a shared static size and solved with a single
-        compiled batched block-solve (identity rows keep padding inert, so
-        the solutions are exact). Replaces the vendored per-geometry
-        window fancy-indexing, which re-touches the ACS for every geometry.
+        of ONE Gram matrix G_s = W_s^H W_s over the full (kx*ky*nc)-column
+        window matrix (the center-cell targets are themselves columns of
+        W_s). The windows are extracted ON DEVICE (_gram_stack) so the ACS
+        uploads once at raw size instead of window-expanded (~25x) size,
+        and all S Grams come from one einsum; per-geometry systems are then
+        zero-padded to a shared static size and all S*G of them solved with
+        a single compiled batched block-solve (identity rows keep padding
+        inert, so the solutions are exact). Replaces the vendored
+        per-geometry window fancy-indexing (zip!grappa.py:102-171), which
+        re-touches the ACS for every geometry of every slice.
         """
-        calib = np.moveaxis(np.asarray(calib), self.coil_axis, -1)
+        calibs = np.asarray(calibs)
+        elem_rank = calibs.ndim - 1
+        ax = 1 + (self.coil_axis % elem_rank)
+        calibs = np.moveaxis(calibs, ax, -1)            # (S, X, Y, nc)
+        s_count = calibs.shape[0]
         kx, ky = self.kernel_size
         kx2, ky2 = kx // 2, ky // 2
-        nc = calib.shape[-1]
-        calib = np.pad(calib, ((kx2, kx2), (ky2, ky2), (0, 0)),
-                       mode="constant")
-        wins = sliding_window_view(calib, (kx, ky, nc)).reshape(-1,
-                                                                kx * ky * nc)
-        gram = np.asarray(to_complex(_gram(to_pair(wins))))   # (KC, KC)
+        nc = calibs.shape[-1]
+        padded = np.pad(calibs, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0)),
+                        mode="constant")
+        grams = np.asarray(to_complex(_gram_stack(
+            to_pair_device(padded), kx, ky)))           # (S, KC, KC)
 
         valid = self.kernel_var_dict["patch_indices"]
         if len(valid) == 0:
-            return {}
+            return [{} for _ in range(s_count)]
         center_cols = ((kx2 * ky + ky2) * nc + np.arange(nc))
 
         cols_per_geom = []
@@ -201,42 +247,55 @@ class Grappa:
         ns_max = max(len(c) for c in cols_per_geom)
 
         g_count = len(valid)
-        shs = np.zeros((g_count, ns_max, ns_max), np.complex64)
-        sht = np.zeros((g_count, ns_max, nc), np.complex64)
-        lamda0 = np.zeros((g_count,), np.float32)
+        shs = np.zeros((s_count, g_count, ns_max, ns_max), np.complex64)
+        sht = np.zeros((s_count, g_count, ns_max, nc), np.complex64)
+        lamda0 = np.zeros((s_count, g_count), np.float32)
         for gi, cols in enumerate(cols_per_geom):
             ns = len(cols)
-            sub = gram[np.ix_(cols, cols)]
-            shs[gi, :ns, :ns] = sub
-            shs[gi, ns:, ns:] = np.eye(ns_max - ns)           # inert padding
-            sht[gi, :ns] = gram[np.ix_(cols, center_cols)]
-            lamda0[gi] = self.lamda * np.linalg.norm(sub) / ns
+            sub = grams[:, cols[:, None], cols[None, :]]      # (S, ns, ns)
+            shs[:, gi, :ns, :ns] = sub
+            shs[:, gi, ns:, ns:] = np.eye(ns_max - ns)        # inert padding
+            sht[:, gi, :ns] = grams[:, cols[:, None], center_cols[None, :]]
+            lamda0[:, gi] = self.lamda * np.linalg.norm(
+                sub, axis=(1, 2)) / ns
 
         w_all = np.asarray(to_complex(_solve_weights_batched(
-            to_pair(shs), to_pair(sht), jnp.asarray(lamda0))))
+            to_pair(shs.reshape(s_count * g_count, ns_max, ns_max)),
+            to_pair(sht.reshape(s_count * g_count, ns_max, nc)),
+            jnp.asarray(lamda0.reshape(-1)))))
+        w_all = w_all.reshape(s_count, g_count, nc, ns_max)
 
-        weights: Dict[int, np.ndarray] = {}
-        for gi, ii in enumerate(valid):
-            ns = len(cols_per_geom[gi])
-            weights[ii] = w_all[gi][:, :ns]                   # (nc, ns)
-        return weights
+        out = []
+        for si in range(s_count):
+            weights: Dict[int, np.ndarray] = {}
+            for gi, ii in enumerate(valid):
+                ns = len(cols_per_geom[gi])
+                weights[ii] = w_all[si, gi][:, :ns]           # (nc, ns)
+            out.append(weights)
+        return out
 
     # ------------------------------------------------------------------
 
     def _conv_materials(self, weights: Dict[int, np.ndarray], nc: int):
-        """geom_map + per-geometry block kernels for the conv apply path."""
+        """geom_map + per-geometry block kernels + static hole bounding
+        boxes for the conv apply path."""
         kx, ky = self.kernel_size
         valid = self.kernel_var_dict["patch_indices"]
         iidx_map = self.kernel_var_dict["iidx_map"]
         geom_map = np.full(iidx_map.shape, -1, np.int32)
         kernels = np.zeros((max(len(valid), 1), kx, ky, 2 * nc, 2 * nc),
                            np.float32)
+        bounds = []
         for gi, ii in enumerate(valid):
-            geom_map[iidx_map == ii] = gi
+            where = iidx_map == ii
+            geom_map[where] = gi
+            xs, ys = np.nonzero(where)
+            bounds.append((int(xs.min()), int(xs.max()) + 1,
+                           int(ys.min()), int(ys.max()) + 1))
             cells = np.argwhere(self.kernel_var_dict["patches"][ii][..., 0])
             kernels[gi] = _block_kernel(np.asarray(weights[ii]), cells,
                                         kx, ky, nc)
-        return geom_map, kernels
+        return geom_map, kernels, tuple(bounds)
 
     def apply_weights(self, kspace: np.ndarray,
                       weights: Dict[int, np.ndarray]) -> np.ndarray:
@@ -261,9 +320,9 @@ class Grappa:
         kx2, ky2 = kx // 2, ky // 2
         nc = k.shape[-2]
         kpad = jnp.pad(k, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0), (0, 0)))
-        geom_map, kernels = self._conv_materials(weights, int(nc))
+        geom_map, kernels, bounds = self._conv_materials(weights, int(nc))
         vals = _apply_kernels_conv(kpad, jnp.asarray(kernels),
-                                   jnp.asarray(geom_map))
+                                   jnp.asarray(geom_map), bounds)
         return jnp.moveaxis(k + vals, coil_slot, ax)
 
     def apply_weights_pair_multi(self, kspace_pair: jnp.ndarray,
@@ -288,16 +347,17 @@ class Grappa:
         nc = int(k.shape[-2])
         kpad = jnp.pad(k, ((0, 0), (0, 0), (kx2, kx2), (ky2, ky2),
                            (0, 0), (0, 0)))
-        geom_map = None
+        geom_map, bounds = None, None
         kernel_stack = []
         for si in range(s):
             w = weights_per_slice[si]
-            gm, kern = self._conv_materials(w, nc)
+            gm, kern, bnd = self._conv_materials(w, nc)
             geom_map = gm if geom_map is None else geom_map
+            bounds = bnd if bounds is None else bounds
             kernel_stack.append(kern)
         kernels = jnp.asarray(np.stack(kernel_stack))   # (S, G, kx, ky, ...)
-        vals = jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None))(
-            kpad, kernels, jnp.asarray(geom_map))
+        vals = jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None, None))(
+            kpad, kernels, jnp.asarray(geom_map), bounds)
         return jnp.moveaxis(k + vals, coil_slot, ax)
 
     def apply_weights_batch(self, kspaces: np.ndarray,
@@ -314,6 +374,6 @@ class Grappa:
         conv output (zero off the holes) reproduces recon + kspace of the
         vendored code.
         """
-        pair = jnp.asarray(to_pair(np.asarray(kspaces)))
+        pair = to_pair_device(np.ascontiguousarray(kspaces))
         out_pair = np.asarray(self.apply_weights_pair(pair, weights))
         return to_complex(out_pair)  # complex only on host

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .grappa import Grappa
 from .cartesian import center_crop_im, ifftnd_scaled
-from ..ops.cpair import to_pair
+from ..ops.cpair import to_pair, to_pair_device
 from ..ops import rss_complex
 
 
@@ -65,7 +65,7 @@ def create_coil_combined_im(multicoil_multislice_kspace: np.ndarray
     per-slice flipud (reference prostate_t2_recon.py:80-102), computed as
     one vmapped device call."""
     k = np.asarray(multicoil_multislice_kspace)
-    kp = jnp.asarray(to_pair(k))                       # (S, C, H, W, 2)
+    kp = to_pair_device(np.ascontiguousarray(k))       # (S, C, H, W, 2)
     img = ifftnd_scaled(kp, [-2, -1])
     mag = rss_complex(img, axis=1)                     # (S, H, W)
     return np.asarray(mag)[:, ::-1, :]                 # flipud per slice
@@ -93,11 +93,11 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     grappa_obj_2 = Grappa(np.transpose(kspace_data[1, 0], (2, 0, 1)),
                           kernel_size=(5, 5), coil_axis=1)
 
-    wd, wd2 = {}, {}
-    for s in range(num_slices):
-        calib = np.transpose(calib_data[s], (2, 0, 1))
-        wd[s] = grappa_obj.compute_weights(calib)
-        wd2[s] = grappa_obj_2.compute_weights(calib)
+    # ALL per-slice weight solves batch into two fixed-dispatch device
+    # calls (one per sampling geometry), not a host loop over slices.
+    calib_stack = np.transpose(calib_data, (0, 3, 1, 2))  # (S, pe, C, ro)
+    wd = dict(enumerate(grappa_obj.compute_weights_batch(calib_stack)))
+    wd2 = dict(enumerate(grappa_obj_2.compute_weights_batch(calib_stack)))
 
     if hdr is None:
         padding = 0.0
@@ -108,12 +108,16 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     else:
         padding = float(hdr)
 
-    # ONE upload, in the GRAPPA element layout (avg, slice, pe, coils, ro).
-    # Slices fill through the slice-vmapped multi apply in chunks — the
-    # per-slice dispatch chain, not the conv work, dominated wall-clock on
-    # the remote-attached chip; the chunk bound keeps the vmapped conv's
+    # ONE upload of the CONTIGUOUS complex buffer (zero-copy float32 view —
+    # the host-side transpose+stack conversion cost ~30 s at this size,
+    # measured in scripts/measure_grappa_stages.py), then reorder to the
+    # GRAPPA element layout (avg, slice, pe, coils, ro) ON DEVICE. Slices
+    # fill through the slice-vmapped multi apply in chunks — the per-slice
+    # dispatch chain, not the conv work, dominated wall-clock on the
+    # remote-attached chip; the chunk bound keeps the vmapped conv's
     # per-geometry output transients (~G x slice-size each) inside HBM.
-    k_pair = jnp.asarray(to_pair(np.transpose(kspace_data, (0, 1, 4, 2, 3))))
+    k_pair = jnp.transpose(to_pair_device(np.ascontiguousarray(kspace_data)),
+                           (0, 1, 4, 2, 3, 5))
     avg02 = jnp.asarray([0, 2])
     g = max(1, len(grappa_obj.kernel_var_dict["patch_indices"]))
     slice_bytes = 2 * num_coils * num_ro * num_pe * 2 * 4   # 2 avgs, pair
