@@ -133,39 +133,76 @@ def bench_train(jax, jnp, aug: str, n: int = 256, batch: int = 8) -> float:
     # warm (compile)
     state, losses, _ = engine.train_one_epoch(
         state, store, perm, jax.random.PRNGKey(2), dataset_len=n)
-    reps = 2
+    # Sustained: epochs dispatch back-to-back via the async engine API (no
+    # per-epoch device->host sync; the non-finite guard fires at the final
+    # sync point) — the production pattern when validation runs every k
+    # epochs rather than every epoch.
+    reps = 4
     t0 = time.perf_counter()
+    all_losses = []
     for r in range(reps):
-        state, losses, _ = engine.train_one_epoch(
-            state, store, perm, jax.random.PRNGKey(3 + r), dataset_len=n)
-    float(np.asarray(losses)[-1])  # block
+        state, losses = engine.train_one_epoch_async(
+            state, store, perm, jax.random.PRNGKey(3 + r))
+        all_losses.append(losses)
+    engine.check_epoch_losses(np.stack([np.asarray(l) for l in all_losses]),
+                              state)
     t1 = time.perf_counter()
     return reps * steps * batch / (t1 - t0)
 
 
-def bench_preprocess(jnp, slices: int = 36) -> float:
-    """Warm slices/s of the full preprocess chain on one 640x368 k-space
-    volume: iFFT magnitude -> percentile clip -> Otsu body mask (conv
-    morphology + segmented-scan connected components) -> resize 320^2 ->
-    z-score in mask (reference mri_preprocess.py:44-146 semantics)."""
+def bench_preprocess(jnp, slices: int = 36, vols: int = 3):
+    """(sustained slices/s, device-compute slices/s) of the full preprocess
+    chain at 640x368 k-space -> 320^2 tensors: iFFT magnitude -> shared-sort
+    percentile clip + Otsu body mask (conv morphology + fixed-sweep
+    connected components with convergence certificate) -> resize -> z-score
+    (reference mri_preprocess.py:44-146 semantics).
+
+    Sustained = the production corpus pattern (preprocess_volumes_pairs):
+    a whole volume is ONE device dispatch and uploads/compute/downloads
+    overlap across volumes. On this environment's remote relay the
+    host<->device link (~33 MB/s measured; ~2.8 MB per slice of k-space in
+    + artifacts out) bounds the sustained number — an artifact of the
+    tunnel, not the chip, so the device-compute rate (inputs resident,
+    outputs left in HBM) is reported alongside, same convention as the
+    per-dispatch inference number above.
+    """
+    import jax
     from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
         MRIKneePreprocessor)
 
     rng = np.random.default_rng(0)
-    img = np.zeros((slices, 640, 368), np.float32)
-    img[:, 160:480, 90:280] = 1.0 + 0.2 * rng.standard_normal(
-        (slices, 320, 190)).astype(np.float32)
-    ksp = np.fft.fftshift(np.fft.fft2(
-        np.fft.ifftshift(img, axes=(-2, -1)), norm="ortho"), axes=(-2, -1))
-    pair = np.stack([ksp.real, ksp.imag], -1).astype(np.float32)
+    pairs = []
+    for _ in range(vols):
+        img = np.zeros((slices, 640, 368), np.float32)
+        img[:, 160:480, 90:280] = 1.0 + 0.2 * rng.standard_normal(
+            (slices, 320, 190)).astype(np.float32)
+        ksp = np.fft.fftshift(np.fft.fft2(
+            np.fft.ifftshift(img, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1))
+        pairs.append(np.stack([ksp.real, ksp.imag], -1).astype(np.float32))
 
     pre = MRIKneePreprocessor(slice_keep=(0.0, 1.0))
-    pre.preprocess_volume_pairs(pair)          # compile + warm
+    pre.preprocess_volume_pairs(pairs[0])      # compile + warm
     t0 = time.perf_counter()
-    out = pre.preprocess_volume_pairs(pair)
-    assert out["tensor"].shape[0] == slices
+    outs = pre.preprocess_volumes_pairs(pairs)
+    assert all(o["tensor"].shape[0] == slices for o in outs)
     t1 = time.perf_counter()
-    return slices / (t1 - t0)
+    sustained = vols * slices / (t1 - t0)
+
+    # device-compute rate: inputs already in HBM, outputs stay in HBM
+    # (sync via a single-element fetch per output leaf)
+    staged = [jnp.asarray(p) for p in pairs]
+    for x in staged:
+        np.asarray(x.ravel()[0])
+    t0 = time.perf_counter()
+    last = None
+    for x in staged:
+        last = pre._volume_chain_vmapped(x, True)
+    for leaf in last:
+        np.asarray(leaf.ravel()[0])
+    t1 = time.perf_counter()
+    device_rate = vols * slices / (t1 - t0)
+    return sustained, device_rate
 
 
 def bench_grappa(slices: int = 10, coils: int = 20, ro: int = 640,
@@ -218,7 +255,9 @@ def main() -> None:
         # tuned throughput config (batch 32) alongside the reference batch 8
         extras["train_slices_per_sec_b32_aug_light"] = round(
             bench_train(jax, jnp, "light", batch=32), 2)
-        extras["preprocess_slices_per_sec"] = round(bench_preprocess(jnp), 2)
+        pre_sustained, pre_device = bench_preprocess(jnp)
+        extras["preprocess_slices_per_sec"] = round(pre_sustained, 2)
+        extras["preprocess_device_slices_per_sec"] = round(pre_device, 2)
         extras["grappa_t2_s_per_slice"] = round(bench_grappa(), 2)
     except Exception as exc:  # extras must never sink the headline
         extras["error"] = f"{type(exc).__name__}: {exc}"

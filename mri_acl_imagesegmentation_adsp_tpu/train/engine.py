@@ -268,17 +268,42 @@ class Engine:
         (denominator is the FULL dataset even with drop_last).
         """
         batch = int(perm.shape[1])
-        state, losses = self._train_epoch_c(
-            state, store.images, store.masks, store.neighbors, perm, aug_key,
-            batch_size=batch)
-        losses = np.asarray(losses)
-        if not np.all(np.isfinite(losses)):
-            bad = int(np.argmax(~np.isfinite(losses)))
-            step0 = int(np.asarray(state.step)) - losses.shape[0]
-            raise RuntimeError(
-                f"Non-finite loss at step {step0 + bad}: {losses[bad]}")
+        state, losses_dev = self.train_one_epoch_async(state, store, perm,
+                                                       aug_key)
+        losses = self.check_epoch_losses(losses_dev, state)
         avg = float(losses.sum() * batch / dataset_len)
         return state, losses, avg
+
+    def train_one_epoch_async(self, state: TrainState,
+                              store: DeviceSliceStore, perm: jnp.ndarray,
+                              aug_key: jax.Array
+                              ) -> Tuple[TrainState, jnp.ndarray]:
+        """Dispatch one epoch WITHOUT a device->host sync.
+
+        Returns (state, per-step losses) as device arrays. Back-to-back
+        epochs enqueue while the previous one executes, hiding the dispatch
+        latency of remote-attached chips; call ``check_epoch_losses`` (or
+        ``train_one_epoch``) whenever host code actually needs the values.
+        The non-finite guard semantics are preserved — it just fires at the
+        next sync point instead of per epoch.
+        """
+        return self._train_epoch_c(
+            state, store.images, store.masks, store.neighbors, perm, aug_key,
+            batch_size=int(perm.shape[1]))
+
+    @staticmethod
+    def check_epoch_losses(losses_dev: jnp.ndarray,
+                           state: Optional[TrainState] = None) -> np.ndarray:
+        """Sync per-step losses to host; raise on non-finite values naming
+        the global step (reference engine.py:92-93 guard)."""
+        losses = np.asarray(losses_dev)
+        if not np.all(np.isfinite(losses)):
+            bad = int(np.argmax(~np.isfinite(losses.ravel())))
+            value = losses.ravel()[bad]
+            if state is not None:
+                bad += int(np.asarray(state.step)) - losses.size
+            raise RuntimeError(f"Non-finite loss at step {bad}: {value}")
+        return losses
 
     def validate(self, state: TrainState, store: DeviceSliceStore,
                  batch_size: int) -> Tuple[float, float, float]:

@@ -324,17 +324,29 @@ class UNet2DTrainer:
             profiling = ep - first_epoch < a.profile_epochs
             if profiling:
                 jax.profiler.start_trace(str(self.out_dir / "profile"))
-            self.state, step_losses, train_loss = self.engine.train_one_epoch(
-                self.state, self.train_store, perm, aug_key, n_train)
-            if profiling:
+                self.state, step_losses, train_loss = (
+                    self.engine.train_one_epoch(
+                        self.state, self.train_store, perm, aug_key, n_train))
                 jax.profiler.stop_trace()
+                val_loss, val_dice, val_iou = self.engine.validate(
+                    self.state, self.val_store, val_bs)
+            else:
+                # async epoch dispatch: validation enqueues right behind the
+                # train scan and the host syncs ONCE on the val metrics —
+                # the per-epoch losses transfer rides the same sync (the
+                # non-finite guard just fires one stage later)
+                self.state, losses_dev = self.engine.train_one_epoch_async(
+                    self.state, self.train_store, perm, aug_key)
+                val_loss, val_dice, val_iou = self.engine.validate(
+                    self.state, self.val_store, val_bs)
+                step_losses = self.engine.check_epoch_losses(losses_dev,
+                                                             self.state)
+                train_loss = float(
+                    step_losses.sum() * a.batch_size / n_train)
             if hasattr(self.logger, "log_steps"):
                 self.logger.log_steps(start_step=self.global_step, epoch=ep,
                                       lr=lr_now, losses=step_losses)
             self.global_step += len(step_losses)
-
-            val_loss, val_dice, val_iou = self.engine.validate(
-                self.state, self.val_store, val_bs)
 
             self.scheduler.step(val_loss)
             lr = self.scheduler.lr
