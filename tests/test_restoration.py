@@ -66,6 +66,31 @@ def test_n4_removes_multiplicative_bias(rng):
         assert abs(float(corrected.max()) - float(corrupted.max())) < 1e-3
 
 
+def test_n4_recovers_known_bias_field(rng):
+    """Analytic-fixture validation (VERDICT r2 #8): corrupt a piecewise-
+    constant phantom with a KNOWN smooth multiplicative field; the field N4
+    recovers (corrupted / corrected, in log space, in-mask) must correlate
+    > 0.95 with the ground-truth log-bias. Complements the CV-reduction
+    test with a direct check that the estimated field has the right SHAPE,
+    not merely that the output is flatter. SimpleITK is not installed here,
+    so the pin is against the analytic ground truth rather than ITK's
+    output (reference call site: mri_preprocess.py:236-249)."""
+    yy, xx = (np.mgrid[:96, :96].astype(np.float32) / 96.0)
+    body = np.hypot(yy - 0.5, xx - 0.5) < 0.44
+    clean = np.where(body, 1.0, 0.05).astype(np.float32)
+    clean[np.hypot(yy - 0.5, xx - 0.6) < 0.16] = 1.6   # second tissue class
+    log_bias = (0.6 * (xx - 0.5) + 0.5 * (yy - 0.5) ** 2
+                - 0.4 * (xx - 0.5) * (yy - 0.5))
+    corrupted = (clean * np.exp(log_bias)).astype(np.float32)
+    corrected = np.asarray(n4_bias_correction(
+        jnp.asarray(corrupted), mask=jnp.asarray(body)))
+    rec = np.log(np.maximum(corrupted[body], 1e-12)
+                 / np.maximum(corrected[body], 1e-12))
+    ref = log_bias[body]
+    corr = np.corrcoef(rec, ref)[0, 1]
+    assert corr > 0.95, f"recovered-field correlation {corr:.3f} <= 0.95"
+
+
 def test_n4_near_noop_on_unbiased_image(rng):
     """No bias in -> (approximately) the same image out."""
     yy, xx = np.mgrid[:96, :96].astype(np.float32)
