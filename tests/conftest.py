@@ -19,6 +19,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound (XLA:CPU builds
+# of the U-Nets dominate wall time), and shapes are deterministic across
+# runs — warm runs cut e.g. the 3-D U-Net test from ~60 s to ~2 s. The
+# cache key includes jaxlib + HLO, so code changes re-compile as needed.
+os.environ.setdefault("JAX_TEST_COMPILE_CACHE", "/tmp/jax_test_cache")
+if os.environ["JAX_TEST_COMPILE_CACHE"] != "off":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_TEST_COMPILE_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
