@@ -190,16 +190,19 @@ def bench_preprocess(jnp, slices: int = 36, vols: int = 3):
     sustained = vols * slices / (t1 - t0)
 
     # device-compute rate: inputs already in HBM, outputs stay in HBM
-    # (sync via a single-element fetch per output leaf)
+    # (sync via a single-SCALAR fetch per leaf; never ravel()/reshape a
+    # trailing-pair array on this backend — the reshape copy materializes
+    # a (8,128)-tiled layout that pads the pair dim 64x)
+    scalar = lambda a: np.asarray(a[(0,) * a.ndim])
     staged = [jnp.asarray(p) for p in pairs]
     for x in staged:
-        np.asarray(x.ravel()[0])
+        scalar(x)
     t0 = time.perf_counter()
     last = None
     for x in staged:
         last = pre._volume_chain_vmapped(x, True)
     for leaf in last:
-        np.asarray(leaf.ravel()[0])
+        scalar(leaf)
     t1 = time.perf_counter()
     device_rate = vols * slices / (t1 - t0)
     return sustained, device_rate

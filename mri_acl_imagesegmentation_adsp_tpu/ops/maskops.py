@@ -266,20 +266,62 @@ def label_components(mask: jnp.ndarray, max_iters: int | None = None,
     return lbl
 
 
+# Capacity of the compare-reduce component-size path. Post-morphology body
+# masks carry a handful of components; the certificate routes overflow (>K
+# roots) to the exact bincount path, so K is a perf knob, not a correctness
+# bound. K=128 measured 0.82 ms/slice vs 5.19 for the scatter bincount at
+# 640x368 on the v5e (scripts/micro_bincount.py).
+SMALL_OBJECT_MAX_ROOTS = 128
+
+
+def _component_keep_topk(lbl: jnp.ndarray, mask: jnp.ndarray, min_size: int,
+                         k: int = SMALL_OBJECT_MAX_ROOTS):
+    """Small-object removal via the K smallest root labels + compare-reduce.
+
+    A component's label is the minimum linear index of its pixels, so roots
+    are exactly the pixels whose label equals their own index. Component
+    sizes then come from a dense (K, H*W) equality compare summed over
+    pixels — VPU-friendly streaming work — instead of ``jnp.bincount``'s
+    scatter-add, which serializes on TPU. Returns ``(keep_mask, ok)`` where
+    ``ok`` certifies the root count fit in K (callers fall back to the
+    exact path otherwise).
+    """
+    h, w = lbl.shape
+    n = h * w
+    flat = lbl.ravel()
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_root = flat == iota
+    ok = jnp.sum(is_root) <= k
+    masked = jnp.where(is_root, flat, jnp.int32(2 * n))
+    neg_top, _ = lax.top_k(-masked, k)
+    roots = -neg_top                                  # (K,) ascending
+    eq = flat[None, :] == roots[:, None]              # (K, H*W)
+    counts = jnp.sum(eq.astype(jnp.int32), axis=1)    # component sizes
+    small = (counts < min_size) & (roots < n)
+    rm = jnp.any(eq & small[:, None], axis=0).reshape(h, w)
+    return jnp.logical_and(mask > 0, ~rm), ok
+
+
 def remove_small_objects(mask: jnp.ndarray, min_size: int = 256,
                          sweeps: int | None = None, check: bool = False):
     """Drop 4-connected components smaller than min_size (skimage semantics:
     components with size < min_size are removed; == min_size survive).
-    With ``check=True`` (fixed sweeps only) returns ``(mask, converged)``."""
+
+    With ``check=True`` (fixed sweeps only) returns ``(mask, converged)``
+    and component sizes run through the compare-reduce top-K-roots path
+    (~6x faster than the scatter bincount on the v5e); ``converged``
+    certifies BOTH the CC fixpoint and that the root count fit — callers
+    recompute uncertified slices through the exact (check=False,
+    sweeps=None) path, which keeps the while_loop fixpoint + bincount."""
     h, w = mask.shape
     if check:
-        lbl, ok = label_components(mask, sweeps=sweeps, check=True)
-    else:
-        lbl = label_components(mask, sweeps=sweeps)
+        lbl, cc_ok = label_components(mask, sweeps=sweeps, check=True)
+        out, roots_ok = _component_keep_topk(lbl, mask, min_size)
+        return out, cc_ok & roots_ok
+    lbl = label_components(mask, sweeps=sweeps)
     counts = jnp.bincount(lbl.ravel(), length=h * w + 1)
     keep = counts[lbl] >= min_size
-    out = jnp.logical_and(mask > 0, keep)
-    return (out, ok) if check else out
+    return jnp.logical_and(mask > 0, keep)
 
 
 # --------------------------------------------------------------------------

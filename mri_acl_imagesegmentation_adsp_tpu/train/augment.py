@@ -161,25 +161,60 @@ def _hat(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
+def _int_shift_lines(zp: jnp.ndarray, m: jnp.ndarray, axis: int,
+                     pad: int) -> jnp.ndarray:
+    """Variable integer shift along ``axis`` via log2(pad) roll+selects.
+
+    zp is padded with ``pad`` zeros on both ends of ``axis``; ``m`` holds
+    per-LINE integer shifts (shape broadcastable to zp with size 1 along
+    ``axis``). Returns y with y[..., j, ...] = zp[..., j + m, ...] for the
+    interior; |m| is clipped to pad. Rolls are static-shift copies and the
+    per-line selection is elementwise — no gathers, so the variable shift
+    streams at memory bandwidth on TPU (gathers measured ~10x slower).
+    The log-shift trick needs m constant along the rolled axis, which a
+    per-LINE shift satisfies by construction.
+    """
+    import numpy as np
+    u = jnp.clip(m, -pad, pad) + pad              # [0, 2*pad]
+    nbits = max(1, int(np.ceil(np.log2(2 * pad + 1))))
+    y = jnp.roll(zp, pad, axis=axis)              # y[j] = zp[j - pad]
+    for k in range(nbits):
+        bit = ((u >> k) & 1).astype(bool)
+        y = jnp.where(bit, jnp.roll(y, -(1 << k), axis=axis), y)
+    return y
+
+
 def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
-                          h: int, w: int):
-    """Two-pass separable affine warp as MXU matmuls — NO gathers.
+                          h: int, w: int, cfg=None):
+    """Two-pass separable affine warp: per-line integer shifts (log-rolls)
+    + a NARROW static tap band — no gathers, no (out, in) matrix.
 
     The inverse map sy = A·y + B·x + C, sx = D·y + E·x + F factors
     (Catmull–Smith) into a row pass mid[v, x] = in[v, G·v + H·x + K]
     followed by a column pass out[y, x] = mid[sy(y, x), x]. Each pass is a
-    per-line 1-D linear resample, i.e. a contraction with a banded
-    (out, in) interpolation matrix built by pure broadcasting and fed to
-    the MXU in bf16 with f32 accumulation. This replaces the per-pixel
-    payload gather (index-bound: ~65 ms per 320² batch-32 on v5e) with
-    streaming matmul work. Off-image samples get weight 0 on every input
-    line, reproducing the border-constant-0 fill. The factorization
-    divides by A = cos(angle)/scale — safe for the recipes' <=15° ranges.
+    per-line 1-D LINEAR resample. The round-2 formulation materialized the
+    banded (out, in) interpolation matrix per line — a (B, V, 320, 320)
+    operand whose contraction XLA lowers to a VPU loop fusion (~1 ms/step
+    at batch 8, 25% of the reference-config train step). This round splits
+    each pass exactly:
 
-    The mask rides the payload as an extra bilinear channel and
-    re-binarizes at 0.5 (majority resampling — keeps masks exactly binary;
-    the reference's nearest rule agrees except on sub-pixel blob edges).
+      1. the per-line INTEGER displacement (shift + rotation shear, up to
+         ~±60 px) moves via log2 rolls + per-line selects — exact, zero
+         interpolation, bandwidth-bound;
+      2. the residual position (scale drift + fraction, bounded by
+         |1-H|·size/2 + 1, a STATIC bound from the recipe's parameter
+         ranges) resamples through 2T+1 statically-sliced taps with
+         inline hat weights — the same bilinear numerics as the matrix
+         formulation, at ~T/size of its traffic (T<=22 vs 320).
+
+    Off-image sources read the zero padding, reproducing the
+    border-constant-0 fill exactly. The mask rides the payload as an extra
+    bilinear channel and re-binarizes at 0.5 (majority resampling — keeps
+    masks exactly binary; the reference's nearest rule agrees except on
+    sub-pixel blob edges).
     """
+    import numpy as np
+    cfg = cfg or _RECIPES["medium"]  # widest non-elastic bounds as default
     to_b = lambda a: a.astype(jnp.float32)[:, None, None]
     cos, sin = jnp.cos(-p.angle), jnp.sin(-p.angle)
     inv_s = 1.0 / p.scale
@@ -194,24 +229,61 @@ def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
     Hc = E - D * B / A
     K = F - D * C / A
 
+    # static bounds from the recipe's parameter ranges
+    s_max = float(cfg["scale"])
+    a_max = float(np.deg2rad(cfg["rot_deg"]))
+    sh_max = float(cfg["shift"])
+    dev = max(1.0 / (1.0 - s_max) - 1.0,
+              1.0 - np.cos(a_max) / (1.0 + s_max))     # max |H - 1|, |A - 1|
+    size = max(h, w)
+    T = int(np.ceil(dev * size / 2.0 + 1.5)) + 1       # residual tap radius
+    pad = int(np.ceil(sh_max * size + np.tan(a_max) * size / 2.0 * 1.2
+                      + dev * size / 2.0 + T + 4))     # max |integer shift|
+
     rows = jnp.arange(h, dtype=jnp.float32)
     cols = jnp.arange(w, dtype=jnp.float32)
-    payload = jnp.concatenate([x, y[..., None].astype(x.dtype)], axis=-1)
+    payload = jnp.concatenate(
+        [x, y[..., None].astype(x.dtype)], axis=-1).astype(jnp.bfloat16)
+    c_all = payload.shape[-1]
+
+    def banded_pass(z, pos, axis):
+        """z: payload (B, ., ., C); pos (B, L, N): source positions along
+        ``axis`` for each of L lines x N output positions (axis=2: lines
+        are rows, N = w; axis=1: lines are columns, N = h)."""
+        n = z.shape[axis]
+        # per-line integer displacement, measured at the line's center
+        m = jnp.round(pos[..., n // 2] - (n // 2)).astype(jnp.int32)  # (B,L)
+        mb = m[:, :, None, None] if axis == 2 else m[:, None, :, None]
+        pads = [(0, 0)] * z.ndim
+        pads[axis] = (pad, pad)
+        zp = jnp.pad(z, pads)
+        zs = _int_shift_lines(zp, mb, axis, pad)
+        # residual position rel = pos - out_index - m, |rel| <= T - 1
+        idx = jnp.arange(n, dtype=jnp.float32)
+        rel = pos - idx[None, None, :] - m[..., None].astype(jnp.float32)
+        out = None
+        for j in range(-T, T + 1):
+            wj = _hat(rel - j)                          # (B, L, N)
+            if axis == 2:
+                sl = zs[:, :, pad + j: pad + j + n, :]
+                wjb = wj[..., None]
+            else:
+                sl = zs[:, pad + j: pad + j + n, :, :]
+                wjb = jnp.swapaxes(wj, 1, 2)[..., None]
+            term = wjb * sl.astype(jnp.float32)
+            out = term if out is None else out + term
+        return out.astype(jnp.bfloat16)
 
     # pass 1: every input row v resamples along x at G·v + H·x + K
     pos1 = to_b(G) * rows[None, :, None] + to_b(Hc) * cols[None, None, :] \
-        + to_b(K)                                        # (B, V, Xo)
-    t1 = _hat(pos1[..., None] - cols).astype(jnp.bfloat16)  # (B, V, Xo, Xi)
-    mid = jnp.einsum("bvoi,bvic->bvoc", t1, payload.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+        + to_b(K)                                      # (B, V, Xo)
+    mid = banded_pass(payload, pos1, axis=2)
 
     # pass 2: every output column x resamples along y at A·y + B·x + C
     pos2 = to_b(A) * rows[None, :, None] + to_b(B) * cols[None, None, :] \
-        + to_b(C)                                        # (B, Yo, X)
-    t2 = _hat(jnp.swapaxes(pos2, 1, 2)[..., None] - rows
-              ).astype(jnp.bfloat16)                     # (B, X, Yo, V)
-    out = jnp.einsum("bxov,bvxc->boxc", t2, mid.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+        + to_b(C)                                      # (B, Yo, X)
+    pos2_lines = jnp.swapaxes(pos2, 1, 2)              # (B, X lines, Yo)
+    out = banded_pass(mid, pos2_lines, axis=1).astype(jnp.float32)
 
     c = x.shape[-1]
     return out[..., :c].astype(x.dtype), (out[..., c] > 0.5).astype(y.dtype)
@@ -242,7 +314,8 @@ def augment_batch(x: jnp.ndarray, y: jnp.ndarray, key: jax.Array,
 
     # light/medium: gather-free separable warp, gated per sample so
     # SSR-skipped samples stay bit-exact identities
-    xw, yw = _warp_batch_separable(x, y, params, h, w)
+    xw, yw = _warp_batch_separable(x, y, params, h, w,
+                                   cfg=_RECIPES.get(recipe))
     gate = params.apply_ssr
     x = jnp.where(gate[:, None, None, None], xw, x)
     y = jnp.where(gate[:, None, None], yw, y)

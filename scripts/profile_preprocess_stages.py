@@ -29,9 +29,11 @@ S, H, W = 36, 640, 368
 
 def _sync(out):
     """Force execution on backends where block_until_ready is unreliable:
-    transfer ONE element of every output leaf (waits for the buffer)."""
+    transfer ONE element of every output leaf (waits for the buffer).
+    Scalar indexing, NOT ravel() — reshaping a trailing-pair array
+    materializes a 64x-padded tiled layout on this backend."""
     for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(leaf.ravel()[0])
+        np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def timeit(name, fn, *args, reps=4):
@@ -60,26 +62,41 @@ def main():
 
     vm = lambda f: jax.jit(jax.vmap(f))
 
+    from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
+        MRIKneePreprocessor)
+    pre = MRIKneePreprocessor(slice_keep=(0.0, 1.0))
+    timeit("FULL fused volume chain",
+           lambda p: pre._volume_chain_vmapped(p, True), pair)
+
     img = timeit("ifft2c_magnitude", vm(ifft2c_magnitude), pair)
+    srt = timeit("jnp.sort (shared)",
+                 jax.jit(lambda x: jnp.sort(x.reshape(S, -1), axis=1)), img)
     clipped = timeit("percentile_clip(1,99.5)",
                      vm(lambda x: percentile_clip(x, 1.0, 99.5)), img)
+
+    def bm_sorted(x, s):
+        from mri_acl_imagesegmentation_adsp_tpu.ops.maskops import body_mask
+        return body_mask(x, sorted_values=s, with_cc_flag=True)
+    timeit("body_mask sorted+cert (fused)",
+           jax.jit(jax.vmap(bm_sorted)), clipped,
+           jax.jit(lambda s: jnp.sort(s.reshape(S, -1), 1))(clipped))
 
     def norm01(x):
         v = x - jnp.min(x)
         return v / jnp.maximum(jnp.max(v), 1e-30)
     v01 = jax.jit(jax.vmap(norm01))(clipped)
-    th = timeit("otsu_threshold", vm(otsu_threshold), v01)
+    th = timeit("otsu_threshold (compare-reduce)", vm(otsu_threshold), v01)
     m0 = jax.jit(jax.vmap(lambda v, t: v > t))(v01, th)
 
     se = disk(2)
     m1 = timeit("open+close disk(2)",
                 vm(lambda m: binary_closing(binary_opening(m, se), se)), m0)
-    timeit("label_components fixed8",
-           vm(lambda m: label_components(m, sweeps=8)), m1)
+    timeit("label_components fixed4+check",
+           vm(lambda m: label_components(m, sweeps=4, check=True)), m1)
     timeit("remove_small(label+bincount)",
-           vm(lambda m: remove_small_objects(m, 256, sweeps=8)), m1)
+           vm(lambda m: remove_small_objects(m, 256, sweeps=4)), m1)
 
-    lbl = jax.jit(jax.vmap(lambda m: label_components(m, sweeps=8)))(m1)
+    lbl = jax.jit(jax.vmap(lambda m: label_components(m, sweeps=4)))(m1)
 
     def bincount_keep(lbl_s, m_s):
         counts = jnp.bincount(lbl_s.ravel(), length=H * W + 1)
