@@ -79,7 +79,8 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 def upconv_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (2,2,Ci,4Co) computing conv3x3(nearest_up2(x))."""
     ci, co = k.shape[2], k.shape[3]
-    w = jnp.einsum("aut,bvs,tsio->uviabo", _R_UP, _R_UP, k)
+    r = jnp.asarray(_R_UP, k.dtype)   # 0/1 factors: exact in any dtype
+    w = jnp.einsum("aut,bvs,tsio->uviabo", r, r, k)
     return w.reshape(2, 2, ci, 4 * co)
 
 
@@ -103,9 +104,12 @@ _R_UP3 = np.asarray(
 def upconv_embedded_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (3,3,Ci,4Co): conv3x3(nearest_up2(x)) as ONE 3x3 SAME
     conv at low resolution followed by depth_to_space. Phase-major output
-    channel layout (2a+b)*Co + co, matching depth_to_space."""
+    channel layout (2a+b)*Co + co, matching depth_to_space. The embedding
+    runs in k.dtype (its factors are 0/1, and callers may cast the kernel
+    to the compute dtype FIRST to halve per-step assembly traffic)."""
     ci, co = k.shape[2], k.shape[3]
-    w = jnp.einsum("aut,bvs,tsio->uviabo", _R_UP3, _R_UP3, k)
+    r = jnp.asarray(_R_UP3, k.dtype)
+    w = jnp.einsum("aut,bvs,tsio->uviabo", r, r, k)
     return w.reshape(3, 3, ci, 4 * co)
 
 
@@ -132,9 +136,11 @@ _M3_DENSE[1, 2, 0, 2] = 1.0   # a=1, dy=+1 -> slot 2 (delta +1), phase 0
 
 def dense_embedded_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (3,3,4Ci,4Co): conv3x3 on a phase-major tensor as ONE
-    3x3 SAME conv (no shifted-slice epilogue); output stays phase-major."""
+    3x3 SAME conv (no shifted-slice epilogue); output stays phase-major.
+    Runs in k.dtype (one-hot scatter — exact in any dtype)."""
     ci, co = k.shape[2], k.shape[3]
-    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", _M3_DENSE, _M3_DENSE, k)
+    m = jnp.asarray(_M3_DENSE, k.dtype)
+    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", m, m, k)
     return w.reshape(3, 3, 4 * ci, 4 * co)
 
 
@@ -151,9 +157,11 @@ for _a in (0, 1):
 def strided_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (4,4,Ci,4Co): conv3x3 on a HIGH-RES tensor emitting
     phase-major output directly (one stride-2 conv, padding (1,1)) — the
-    space-to-depth of the conv's output without materializing it."""
+    space-to-depth of the conv's output without materializing it.
+    Runs in k.dtype (one-hot scatter — exact in any dtype)."""
     ci, co = k.shape[2], k.shape[3]
-    w = jnp.einsum("aut,bvs,tsio->uviabo", _S4, _S4, k)
+    s4 = jnp.asarray(_S4, k.dtype)
+    w = jnp.einsum("aut,bvs,tsio->uviabo", s4, s4, k)
     return w.reshape(4, 4, ci, 4 * co)
 
 
@@ -171,7 +179,8 @@ def apply_strided_phase(x: jnp.ndarray, w4: jnp.ndarray,
 def dense_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Ci,Co) -> (2,2,4Ci,4Co) computing conv3x3 on phase-space input."""
     ci, co = k.shape[2], k.shape[3]
-    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", _M_DENSE, _M_DENSE, k)
+    m = jnp.asarray(_M_DENSE, k.dtype)
+    w = jnp.einsum("aupt,bvqs,tsio->uvpqiabo", m, m, k)
     return w.reshape(2, 2, 4 * ci, 4 * co)
 
 

@@ -235,8 +235,14 @@ class _DecoderBlock(nn.Module):
                  or (self.phase_out and skip is None))
         cx = x.shape[-1]
         cs = 0 if skip is None else skip.shape[-1]
+        # Kernels are cast to compute dtype BEFORE the phase embedding: the
+        # embeddings are pads/permutations (+ two exact-in-f32 tap sums for
+        # the up-conv), so assembling in bf16 halves the per-step kernel-
+        # construction traffic the b8 trace showed inside the epoch scan
+        # (f32 copies/slices of the 512-768 channel decoder kernels).
         k1 = _ConvKernel(self.features, cx + cs, name="Conv_0")()
-        w_up = upconv_embedded_kernel(k1[:, :, :cx]).astype(self.dtype)
+        k1 = k1.astype(self.dtype)
+        w_up = upconv_embedded_kernel(k1[:, :, :cx])
         y = lax.conv_general_dilated(
             x.astype(self.dtype), w_up, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -246,12 +252,10 @@ class _DecoderBlock(nn.Module):
             k_sk = k1[:, :, cx:]
             if phase:
                 y = y + apply_strided_phase(
-                    skip.astype(self.dtype),
-                    strided_phase_kernel(k_sk).astype(self.dtype))
+                    skip.astype(self.dtype), strided_phase_kernel(k_sk))
             else:
                 y = y + lax.conv_general_dilated(
-                    skip.astype(self.dtype), k_sk.astype(self.dtype),
-                    (1, 1), "SAME",
+                    skip.astype(self.dtype), k_sk, (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
         g = 4 if phase else 1
         y = _EfficientBatchNorm(use_running_average=not train, momentum=0.9,
@@ -259,7 +263,8 @@ class _DecoderBlock(nn.Module):
                          phase_groups=g, name="BatchNorm_0")(y)
         y = nn.relu(y)
         k2 = _ConvKernel(self.features, self.features, name="Conv_1")()
-        k2 = (dense_embedded_kernel(k2) if phase else k2).astype(self.dtype)
+        k2 = k2.astype(self.dtype)
+        k2 = dense_embedded_kernel(k2) if phase else k2
         y = lax.conv_general_dilated(
             y.astype(self.dtype), k2, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -311,7 +316,7 @@ class ResNetEncoderUNet(nn.Module):
                                  use_bias=True, name="Conv_0")()
             logits = lax.conv_general_dilated(
                 y.astype(self.dtype),
-                dense_embedded_kernel(kh).astype(self.dtype), (1, 1), "SAME",
+                dense_embedded_kernel(kh.astype(self.dtype)), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             logits = logits + jnp.tile(bh, 4).astype(self.dtype)
             logits = depth_to_space(logits)

@@ -10,6 +10,8 @@ from .fftc import (
     ifft2c,
     fft2c_pair,
     ifft2c_pair,
+    fft2c_parts,
+    ifft2c_parts,
     pair_abs,
     to_pair,
     ifft2c_magnitude,
@@ -39,7 +41,8 @@ from .maskops import (
 from .edt import edt, surface_distances, hd95, assd
 
 __all__ = [
-    "fft2c", "ifft2c", "fft2c_pair", "ifft2c_pair", "pair_abs", "to_pair",
+    "fft2c", "ifft2c", "fft2c_pair", "ifft2c_pair", "fft2c_parts",
+    "ifft2c_parts", "pair_abs", "to_pair",
     "ifft2c_magnitude", "complex_abs", "rss", "rss_complex",
     "center_crop_or_pad",
     "percentile", "percentile_clip", "resize_bilinear", "zscore_in_mask",

@@ -49,7 +49,7 @@ def _centered_dft_mats(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _apply_axis(re: jnp.ndarray, im: jnp.ndarray, n: int, inverse: bool,
-                axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                axis: int, precision=_PREC) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply the centered 1-D transform along ``axis`` (-1 or -2) of a pair."""
     mr_np, mi_np = _centered_dft_mats(n, inverse)
     mr, mi = jnp.asarray(mr_np), jnp.asarray(mi_np)
@@ -59,17 +59,32 @@ def _apply_axis(re: jnp.ndarray, im: jnp.ndarray, n: int, inverse: bool,
         spec = "wt,...t->...w" if re.ndim == 1 else "wt,...ht->...hw"
     else:
         raise ValueError("axis must be -1 or -2")
-    def mm(m, x):
-        return jnp.einsum(spec, m, x, precision=_PREC)
+    if (precision in (lax.Precision.DEFAULT, None)
+            and re.dtype == jnp.float32):
+        # DEFAULT f32 matmuls round both operands to bf16 inside the MXU
+        # pass anyway (CLAUDE.md backend note), so pre-casting the data
+        # operand is BIT-IDENTICAL — but any relayout XLA inserts between
+        # the H- and W-axis passes now moves half the bytes. Accumulation
+        # stays f32 via preferred_element_type.
+        re, im = re.astype(jnp.bfloat16), im.astype(jnp.bfloat16)
+        mr, mi = mr.astype(jnp.bfloat16), mi.astype(jnp.bfloat16)
+
+        def mm(m, x):
+            return jnp.einsum(spec, m, x, precision=precision,
+                              preferred_element_type=jnp.float32)
+    else:
+        def mm(m, x):
+            return jnp.einsum(spec, m, x, precision=precision)
     out_re = mm(mr, re) - mm(mi, im)
     out_im = mm(mr, im) + mm(mi, re)
     return out_re, out_im
 
 
-def _fft2c_parts(re: jnp.ndarray, im: jnp.ndarray, inverse: bool):
+def _fft2c_parts(re: jnp.ndarray, im: jnp.ndarray, inverse: bool,
+                 precision=_PREC):
     h, w = re.shape[-2], re.shape[-1]
-    re, im = _apply_axis(re, im, h, inverse, axis=-2)
-    re, im = _apply_axis(re, im, w, inverse, axis=-1)
+    re, im = _apply_axis(re, im, h, inverse, axis=-2, precision=precision)
+    re, im = _apply_axis(re, im, w, inverse, axis=-1, precision=precision)
     return re, im
 
 
@@ -77,16 +92,45 @@ def _fft2c_parts(re: jnp.ndarray, im: jnp.ndarray, inverse: bool):
 # Real-pair API (device path): arrays shaped (..., H, W, 2)
 # --------------------------------------------------------------------------
 
-def fft2c_pair(x: jnp.ndarray) -> jnp.ndarray:
-    """Centered orthonormal 2-D FFT of a real-pair (..., H, W, 2) array."""
-    re, im = _fft2c_parts(x[..., 0], x[..., 1], inverse=False)
+def fft2c_pair(x: jnp.ndarray, precision=_PREC) -> jnp.ndarray:
+    """Centered orthonormal 2-D FFT of a real-pair (..., H, W, 2) array.
+
+    ``precision`` tunes the DFT matmuls: the default HIGHEST keeps the
+    transform within ~1e-5 of pocketfft (required by the preprocessing /
+    recon parity paths). Learned-recon networks training in bf16 (VarNet
+    AMP) pass ``lax.Precision.DEFAULT`` instead — the v5e runs f32-HIGHEST
+    matmuls as 6 bf16 MXU passes, so DEFAULT is ~6x faster and matches the
+    surrounding network's own arithmetic precision.
+    """
+    re, im = _fft2c_parts(x[..., 0], x[..., 1], inverse=False,
+                          precision=precision)
     return jnp.stack([re, im], axis=-1)
 
 
-def ifft2c_pair(x: jnp.ndarray) -> jnp.ndarray:
-    """Centered orthonormal 2-D inverse FFT of a real-pair array."""
-    re, im = _fft2c_parts(x[..., 0], x[..., 1], inverse=True)
+def ifft2c_pair(x: jnp.ndarray, precision=_PREC) -> jnp.ndarray:
+    """Centered orthonormal 2-D inverse FFT of a real-pair array.
+
+    See :func:`fft2c_pair` for the ``precision`` contract."""
+    re, im = _fft2c_parts(x[..., 0], x[..., 1], inverse=True,
+                          precision=precision)
     return jnp.stack([re, im], axis=-1)
+
+
+def fft2c_parts(re: jnp.ndarray, im: jnp.ndarray,
+                precision=_PREC) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Centered orthonormal 2-D FFT on separate re/im arrays (..., H, W).
+
+    Structure-of-arrays entry point: VarNet's cascade loop carries re/im
+    separately because any (..., 2) pair-minor tensor tiles the size-2 dim
+    to the (8,128) TPU tile on copies/fusions (~8x padded traffic measured
+    in the r3 HLO dump, scripts/dump_hlo_varnet.py)."""
+    return _fft2c_parts(re, im, inverse=False, precision=precision)
+
+
+def ifft2c_parts(re: jnp.ndarray, im: jnp.ndarray,
+                 precision=_PREC) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`fft2c_parts` (see it for the SoA rationale)."""
+    return _fft2c_parts(re, im, inverse=True, precision=precision)
 
 
 def pair_abs(x: jnp.ndarray) -> jnp.ndarray:

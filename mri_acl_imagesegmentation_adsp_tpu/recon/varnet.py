@@ -12,34 +12,52 @@ DL_reconstruction/models/varnet.py —
     |sens_reduce| (varnet.py:200-261), with the prostate-DWI multi-average
     layout (b, coils, aves, h, w, 2) and b50/b1000 channel configs.
 
-TPU design: all complex math is real-pair (ops/cpair.py), the centered FFTs
-are the MXU DFT matmuls (ops/fftc.py), U-Nets run NHWC in bf16-capable
-Flax modules — the whole unrolled network is one jit region, so XLA
-pipelines cascade FFTs with the conv stacks.
+TPU design: all complex math runs STRUCTURE-OF-ARRAYS — separate re/im
+float arrays — inside the network. The (..., 2) real-pair layout used at
+the API boundary is hostile to the TPU memory system in a long cascade
+chain: the r3 HLO dump (scripts/dump_hlo_varnet.py) showed 4.4 GB/step of
+copies at ~11% of HBM speed because every copy/fusion touching a
+pair-minor tensor pads the size-2 dim toward the (8,128) tile. Splitting
+k-space once at entry and stacking once at exit removes that whole class.
+The centered FFTs are the MXU DFT matmuls (ops/fftc.py `fft2c_parts`),
+U-Nets run NHWC in bf16-capable Flax modules, and the whole unrolled
+network is one jit region so XLA pipelines cascade FFTs with conv stacks.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
 from ..models.fastmri_unet import FastMRIUnet
-from ..ops import fft2c_pair, ifft2c_pair
-from ..ops.cpair import cmul, cconj, cabs_sq
+from ..ops import fft2c_parts, ifft2c_parts
+
+Parts = Tuple[jnp.ndarray, jnp.ndarray]
 
 
-def _rss_pair(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return jnp.sqrt(jnp.sum(cabs_sq(x), axis=axis))
+def _dft_precision(dtype) -> lax.Precision:
+    """DFT matmul precision matched to the network's compute dtype.
+
+    bf16 (AMP) training uses DEFAULT — HIGHEST would run each f32 DFT as 6
+    bf16 MXU passes (~6x the time) for precision the surrounding bf16
+    convs immediately discard. f32 models keep HIGHEST (pocketfft parity,
+    see ops/fftc.py)."""
+    return (lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
 
 
 class NormUnet(nn.Module):
     """Whole-sample normalization + pad-to-16 around a fastMRI U-Net.
 
-    Input (b, c, a, h, w, 2) pairs; channels and averages fold into the
-    U-Net channel dim (2*c*a), mirroring complex_to_chan_dim.
+    Pair entry: (b, c, a, h, w, 2) (or 5-D without the averages axis).
+    SoA entry: pass ``x`` = re and ``xi`` = im, each (b, c, a, h, w); the
+    module then never materializes a pair-minor tensor and returns an
+    (re, im) tuple. Channel order matches the vendored complex_to_chan_dim
+    ([re-block, im-block], varnet.py:43-49) in both entries, so parameter
+    trees are identical.
     """
     chans: int
     num_pools: int
@@ -47,27 +65,37 @@ class NormUnet(nn.Module):
     out_chans: int = 2
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    phase_max_chans: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if x.shape[-1] != 2:
-            raise ValueError("Last dimension must be 2 for complex.")
-        squeeze_back = False
-        if x.ndim == 5:                      # (b, c, h, w, 2) -> add aves
-            x = x[:, :, None]
-        if x.ndim != 6:
-            raise ValueError(f"expected (b,c,a,h,w,2), got {x.shape}")
-        b, c, a, h, w, _ = x.shape
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 xi: jnp.ndarray | None = None):
+        pair_in = xi is None
+        if pair_in:
+            if x.shape[-1] != 2:
+                raise ValueError("Last dimension must be 2 for complex.")
+            if x.ndim == 5:                  # (b, c, h, w, 2) -> add aves
+                x = x[:, :, None]
+            if x.ndim != 6:
+                raise ValueError(f"expected (b,c,a,h,w,2), got {x.shape}")
+            xr, xim = x[..., 0], x[..., 1]
+        else:
+            xr, xim = x, xi
+            if xr.ndim == 4:                 # (b, c, h, w) -> add aves
+                xr, xim = xr[:, :, None], xim[:, :, None]
+        b, c, a, h, w = xr.shape
 
-        # complex_to_chan: (b, 2*c*a, h, w) channel order [re(all ca), im(all ca)]
-        y = jnp.transpose(x, (0, 5, 1, 2, 3, 4)).reshape(b, 2 * c * a, h, w)
+        # complex_to_chan: (b, 2*c*a, h, w), order [re(all ca), im(all ca)]
+        y = jnp.concatenate([xr.reshape(b, c * a, h, w),
+                             xim.reshape(b, c * a, h, w)], axis=1)
 
-        # per-sample whole-tensor norm (torch std uses ddof=1)
-        flat = y.reshape(b, -1)
+        # per-sample whole-tensor norm (torch std uses ddof=1); stats in
+        # f32 even when the cascade state arrives bf16 (AMP)
+        flat = y.reshape(b, -1).astype(jnp.float32)
         mean = jnp.mean(flat, axis=1).reshape(b, 1, 1, 1)
         var = jnp.var(flat, axis=1, ddof=1)
         std = jnp.sqrt(var).reshape(b, 1, 1, 1)
-        y = (y - mean) / std
+        y = (y - mean.astype(y.dtype)) / std.astype(y.dtype)
 
         # pad H and W to multiples of 16, centered
         w_mult = ((w - 1) | 15) + 1
@@ -80,67 +108,124 @@ class NormUnet(nn.Module):
         y = jnp.transpose(y, (0, 2, 3, 1))
         y = FastMRIUnet(out_chans=2 * c * a, chans=self.chans,
                         num_pool_layers=self.num_pools,
-                        drop_prob=self.drop_prob, dtype=self.dtype)(y, train)
+                        drop_prob=self.drop_prob, dtype=self.dtype,
+                        phase_max_chans=self.phase_max_chans)(y, train)
         y = jnp.transpose(y, (0, 3, 1, 2))
 
         y = y[..., h_pad[0]: h_mult - h_pad[1], w_pad[0]: w_mult - w_pad[1]]
         y = y * std + mean
 
-        # chan -> complex: (b, c, a, h, w, 2)
-        y = y.reshape(b, 2, c, a, h, w)
-        y = jnp.transpose(y, (0, 2, 3, 4, 5, 1))
-        return y
+        yr = y[:, :c * a].reshape(b, c, a, h, w)
+        yi = y[:, c * a:].reshape(b, c, a, h, w)
+        if pair_in:
+            return jnp.stack([yr, yi], axis=-1)
+        return yr, yi
 
 
 class SensitivityModel(nn.Module):
-    """Coil-sensitivity estimator: NormUnet per coil image / RSS."""
+    """Coil-sensitivity estimator: NormUnet per coil image / RSS.
+
+    SoA in/out: (er, ei) each (b, c, a, h, w) -> (sr, si). A single
+    (b, c, a, h, w, 2) pair argument is also accepted (returns a pair) for
+    the boundary/tests; the cascades use the SoA entry."""
     chans: int
     num_pools: int
     in_chans: int = 2
     out_chans: int = 2
     drop_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    phase_max_chans: int = 0
 
     @nn.compact
-    def __call__(self, espirit: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # espirit: (b, c, a, h, w, 2); coils fold into the batch dim
-        b, c, a, h, w, _ = espirit.shape
-        x = espirit.reshape(b * c, 1, a, h, w, 2)
-        x = NormUnet(self.chans, self.num_pools, drop_prob=self.drop_prob,
-                     dtype=self.dtype)(x, train)
-        x = x.reshape(b, c, a, h, w, 2)
-        rss = _rss_pair(x, axis=1)[:, None, ..., None]   # (b,1,a,h,w,1)
-        return x / rss
+    def __call__(self, er: jnp.ndarray, ei: jnp.ndarray | None = None,
+                 train: bool = False):
+        pair_in = ei is None
+        if pair_in:
+            er, ei = er[..., 0], er[..., 1]
+        b, c, a, h, w = er.shape
+        xr, xi = NormUnet(self.chans, self.num_pools,
+                          drop_prob=self.drop_prob, dtype=self.dtype,
+                          phase_max_chans=self.phase_max_chans)(
+            er.reshape(b * c, 1, a, h, w), train,
+            xi=ei.reshape(b * c, 1, a, h, w))
+        xr = xr.reshape(b, c, a, h, w)
+        xi = xi.reshape(b, c, a, h, w)
+        rss = jnp.sqrt(jnp.sum(xr * xr + xi * xi, axis=1))[:, None]
+        xr, xi = xr / rss, xi / rss
+        if pair_in:
+            return jnp.stack([xr, xi], axis=-1)
+        return xr, xi
 
 
-def sens_reduce(x: jnp.ndarray, sens_maps: jnp.ndarray) -> jnp.ndarray:
-    """S^H F^-1 k summed over coils: (b,c,a,h,w,2) -> (b,a,h,w,2)."""
-    img = ifft2c_pair(x)
-    return jnp.sum(cmul(img, cconj(sens_maps)), axis=1)
+# --------------------------------------------------------------------------
+# SoA coil-space operators (the cascade hot loop)
+# --------------------------------------------------------------------------
+
+def sens_reduce_parts(kr, ki, sr, si, precision) -> Parts:
+    """S^H F^-1 k summed over coils: parts (b,c,a,h,w) -> (b,a,h,w).
+
+    The coil sum accumulates in f32 even for bf16 state (12-term bf16
+    accumulation would cost ~3 bits); the result returns in state dtype."""
+    ir, ii = ifft2c_parts(kr, ki, precision=precision)
+    # (ir + i*ii) * conj(sr + i*si)
+    rr = ir * sr + ii * si
+    ri = ii * sr - ir * si
+    dt = rr.dtype
+    return (jnp.sum(rr, axis=1, dtype=jnp.float32).astype(dt),
+            jnp.sum(ri, axis=1, dtype=jnp.float32).astype(dt))
 
 
-def sens_expand(x: jnp.ndarray, sens_maps: jnp.ndarray) -> jnp.ndarray:
-    """F (S x): (b,a,h,w,2) -> (b,c,a,h,w,2)."""
-    return fft2c_pair(cmul(x[:, None], sens_maps))
+def sens_expand_parts(xr, xi, sr, si, precision) -> Parts:
+    """F (S x): parts (b,a,h,w) -> (b,c,a,h,w)."""
+    er = xr[:, None] * sr - xi[:, None] * si
+    ei = xr[:, None] * si + xi[:, None] * sr
+    return fft2c_parts(er, ei, precision=precision)
+
+
+def sens_reduce(x: jnp.ndarray, sens_maps: jnp.ndarray,
+                precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Pair-API wrapper: (b,c,a,h,w,2) -> (b,a,h,w,2)."""
+    rr, ri = sens_reduce_parts(x[..., 0], x[..., 1],
+                               sens_maps[..., 0], sens_maps[..., 1],
+                               precision)
+    return jnp.stack([rr, ri], axis=-1)
+
+
+def sens_expand(x: jnp.ndarray, sens_maps: jnp.ndarray,
+                precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Pair-API wrapper: (b,a,h,w,2) -> (b,c,a,h,w,2)."""
+    er, ei = sens_expand_parts(x[..., 0], x[..., 1],
+                               sens_maps[..., 0], sens_maps[..., 1],
+                               precision)
+    return jnp.stack([er, ei], axis=-1)
 
 
 class VarNetBlock(nn.Module):
-    """One unrolled iteration: soft DC + U-Net regularizer."""
+    """One unrolled iteration: soft DC + U-Net regularizer (SoA)."""
     chans: int
     pools: int
     reg_in_chans: int
     dtype: jnp.dtype = jnp.float32
+    phase_max_chans: int = 0
 
     @nn.compact
-    def __call__(self, current_kspace, ref_kspace, sens_maps,
-                 train: bool = False):
+    def __call__(self, kr, ki, k0r, k0i, sr, si,
+                 train: bool = False) -> Parts:
         dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
-        mask = ref_kspace != 0
-        soft_dc = jnp.where(mask, current_kspace - ref_kspace, 0.0) * dc_weight
-        reg = NormUnet(self.chans, self.pools, dtype=self.dtype)(
-            sens_reduce(current_kspace, sens_maps)[:, None], train)
-        model_term = sens_expand(reg[:, 0], sens_maps)
-        return current_kspace - soft_dc - model_term
+        prec = _dft_precision(self.dtype)
+        dt = kr.dtype
+        # elementwise mask ref!=0 per component (vendored varnet.py:286
+        # computes it on the (...,2) pair, i.e. per re/im element)
+        dcw = dc_weight.astype(dt)
+        dcr = jnp.where(k0r != 0, kr - k0r, 0.0) * dcw
+        dci = jnp.where(k0i != 0, ki - k0i, 0.0) * dcw
+        xr, xi = sens_reduce_parts(kr, ki, sr, si, prec)
+        rr, ri = NormUnet(self.chans, self.pools, dtype=self.dtype,
+                          phase_max_chans=self.phase_max_chans)(
+            xr[:, None], train, xi=xi[:, None])
+        er, ei = sens_expand_parts(rr[:, 0].astype(dt), ri[:, 0].astype(dt),
+                                   sr, si, prec)
+        return kr - dcr - er.astype(dt), ki - dci - ei.astype(dt)
 
 
 class VarNet(nn.Module):
@@ -152,23 +237,37 @@ class VarNet(nn.Module):
     chans: int = 18
     pools: int = 4
     dtype: jnp.dtype = jnp.float32
+    # phase-lower U-Net levels with <= this many channels (36 = measured
+    # crossover on the v5e, scripts/micro_cascade_conv.py); 0 disables
+    phase_max_chans: int = 36
 
     @nn.compact
     def __call__(self, kspace: jnp.ndarray, espirit: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         """kspace/espirit: (b, coils, aves, h, w, 2). Returns |image|
         (b, aves, h, w)."""
-        sens_maps = SensitivityModel(self.sens_chans, self.sens_pools,
-                                     dtype=self.dtype)(
-            espirit.astype(jnp.float32), train)
-        kspace_pred = kspace
-        in_chans = {"b50": 6, "b1000": 24}.get(
-            self.bvalue, 2 * kspace.shape[2])
-        del in_chans  # channel count is inferred by the Flax convs
+        e32 = espirit.astype(jnp.float32)
+        sr, si = SensitivityModel(self.sens_chans, self.sens_pools,
+                                  dtype=self.dtype,
+                                  phase_max_chans=self.phase_max_chans)(
+            e32[..., 0], e32[..., 1], train)
+        # split the pair ONCE; the cascades carry separate re/im arrays.
+        # Under AMP the cascade STATE is bf16 too — the 12-coil elementwise
+        # chains (cmul/soft-DC/DFT transport) are HBM-traffic-bound at
+        # full-res (r3 HLO dump), so halving the bytes halves their cost;
+        # the DFT matmuls at DEFAULT precision round to bf16 anyway, and
+        # NormUnet keeps its norm stats and the coil sums in f32.
+        kr = kspace[..., 0].astype(self.dtype)
+        ki = kspace[..., 1].astype(self.dtype)
+        k0r, k0i = kr, ki
+        sr, si = sr.astype(self.dtype), si.astype(self.dtype)
         for _ in range(self.num_cascades):
-            kspace_pred = VarNetBlock(self.chans, self.pools,
-                                      reg_in_chans=2 * kspace.shape[2],
-                                      dtype=self.dtype)(
-                kspace_pred, kspace, sens_maps, train)
-        img = sens_reduce(kspace_pred, sens_maps)    # (b, a, h, w, 2)
-        return jnp.sqrt(cabs_sq(img))                # magnitude
+            kr, ki = VarNetBlock(self.chans, self.pools,
+                                 reg_in_chans=2 * kspace.shape[2],
+                                 dtype=self.dtype,
+                                 phase_max_chans=self.phase_max_chans)(
+                kr, ki, k0r, k0i, sr, si, train)
+        prec = _dft_precision(self.dtype)
+        rr, ri = sens_reduce_parts(kr, ki, sr, si, prec)
+        rr, ri = rr.astype(jnp.float32), ri.astype(jnp.float32)
+        return jnp.sqrt(rr * rr + ri * ri)           # magnitude (b,a,h,w)

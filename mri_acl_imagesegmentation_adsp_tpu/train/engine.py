@@ -53,6 +53,12 @@ def make_optimizer(lr: float, weight_decay: float, max_grad_norm: float):
     Matches the reference stack (train_unet.py:196-209): AdamW(lr, wd),
     clip_grad_norm_(5.0); the injectable lr hosts the ReduceLROnPlateau
     schedule (schedule.py) without re-jitting.
+
+    (Measured dead end, scripts/measure_flat_opt.py: wrapping in
+    ``optax.flatten`` — one concatenated update vector instead of per-leaf
+    ops — LOST throughput on the v5e epoch scan: 710->600 slices/s at
+    batch 8, 787->742 at batch 32. The ravel/concat relayout of every
+    param/moment leaf costs more than the per-leaf fusions it removes.)
     """
     def make(learning_rate):
         chain = [optax.adamw(learning_rate, weight_decay=weight_decay)]

@@ -188,7 +188,18 @@ def make_logger(kind: str, out_dir: str):
         if p == "csv":
             sinks.append(CSVLoggerAdapter(out_dir))
         elif p == "tb":
-            sinks.append(TensorBoardLogger(out_dir))
+            try:
+                sinks.append(TensorBoardLogger(out_dir))
+            except ImportError as exc:
+                # torch-free TPU hosts: degrade to the reference-parity CSV
+                # channel instead of crashing the run (the event-file writer
+                # comes from torch.utils.tensorboard)
+                import warnings
+                warnings.warn(
+                    f"TensorBoard logger unavailable ({exc}); falling back "
+                    "to CSV for this sink")
+                if "csv" not in parts:   # avoid doubled CSV rows on csv+tb
+                    sinks.append(CSVLoggerAdapter(out_dir))
         elif p == "noop":
             pass
         else:

@@ -97,7 +97,11 @@ class VarNetTrainer:
         self.best_val = float("inf")
         self.best_path = os.path.join(args.out_dir, "varnet_best.ckpt")
 
-        self._train_step = jax.jit(self._train_step_impl)
+        # donate params/opt_state (~300 MB at 25 M params): XLA updates
+        # Adam moments and weights in place instead of allocating fresh
+        # outputs each step
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
         self._fwd = jax.jit(self._fwd_impl)
 
     # ------------------------------------------------------------------

@@ -382,3 +382,48 @@ def test_fastmri_unet_tconv_fused_matches_naive():
     y_f = np.asarray(fused.apply(v_n, x))
     assert y_f.shape == (2, 20, 28, 8)
     assert np.allclose(y_n, y_f, atol=1e-5)
+
+
+def test_fastmri_unet_phase_matches_naive():
+    """phase_max_chans levels equal the naive U-Net with the SAME params
+    (the strided/dense/tconv relowerings are exact linear kernel
+    re-expressions; the phase InstanceNorm and phase-mean pool reduce the
+    same element sets, so only f32 reassociation separates the paths)."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.fastmri_unet import (
+        FastMRIUnet)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 6)).astype(np.float32))
+    naive = FastMRIUnet(out_chans=6, chans=8, num_pool_layers=3)
+    phase = FastMRIUnet(out_chans=6, chans=8, num_pool_layers=3,
+                        phase_max_chans=16)   # levels 8 and 16 lowered
+    v = naive.init(jax.random.PRNGKey(0), x)
+    v_p = phase.init(jax.random.PRNGKey(0), x)
+    keys = [jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_leaves_with_path(v)]
+    keys_p = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_p)]
+    assert keys == keys_p   # identical parameter trees
+    y_n = np.asarray(naive.apply(v, x))
+    y_p = np.asarray(phase.apply(v, x))      # phase path, naive's params
+    assert y_p.shape == y_n.shape
+    np.testing.assert_allclose(y_p, y_n, rtol=2e-4, atol=2e-5)
+
+
+def test_fastmri_unet_phase_odd_dims_fall_back():
+    """Odd spatial dims at a would-be phase level degrade to the naive
+    block (same params), not an error."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.fastmri_unet import (
+        FastMRIUnet)
+
+    rng = np.random.default_rng(6)
+    # 24x20 -> pads to 24x24? no: pools=2 -> mult 4 -> 24x20 ok; level dims
+    # 24x20 (even) then 12x10 (even) then 6x5 bottleneck — all phase levels
+    # even here, so force oddness via 20->18: 18 ok, 9 odd at level 1
+    x = jnp.asarray(rng.standard_normal((1, 20, 18, 2)).astype(np.float32))
+    m = FastMRIUnet(out_chans=2, chans=4, num_pool_layers=2,
+                    phase_max_chans=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 20, 18, 2)
+    assert np.isfinite(np.asarray(y)).all()
