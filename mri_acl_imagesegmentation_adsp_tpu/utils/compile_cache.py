@@ -16,6 +16,13 @@ _DEFAULT_DIR = os.environ.get(
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
+    if os.environ.get("MRI_TPU_NO_COMPILE_CACHE"):
+        # hermetic mode: the on-disk cache can hold XLA:CPU AOT executables
+        # compiled on a DIFFERENT machine generation (this fleet migrates
+        # hosts); loading them triggers feature-mismatch warnings and
+        # codegen differences. The multichip dryrun opts out for
+        # reproducible numerics.
+        return ""
     path = cache_dir or _DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     try:

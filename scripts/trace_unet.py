@@ -25,7 +25,7 @@ enable_compilation_cache()
 
 from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import ResNetEncoderUNet
 
-B, H = 32, 320
+B, H = int(__import__('os').environ.get('TRACE_BATCH', 32)), 320
 TRACE_DIR = "/tmp/unet_trace"
 
 
