@@ -85,6 +85,7 @@ def test_infer_cli_end_to_end(tmp_path, rng):
     assert pred.dtype == np.uint8
 
 
+@pytest.mark.slow  # 17 s subprocess e2e; CLI surface covered by fast test_cli cases
 def test_smoke_script(tmp_path, rng):
     from mri_acl_imagesegmentation_adsp_tpu.utils.smoke import run_smoke
     root = tmp_path / "raw"

@@ -195,7 +195,9 @@ def test_otsu_adversarial_goldens():
 
 
 def test_body_mask_constant_image_is_empty():
-    img = np.full((64, 64), 3.0, np.float32)
+    # 128x128 reuses the already-jitted parity-test program (a bespoke
+    # 64x64 shape cost this test its own 28 s body_mask compile)
+    img = np.full((128, 128), 3.0, np.float32)
     got = np.asarray(body_mask(jnp.asarray(img)))
     assert got.sum() == 0
     assert got.dtype == np.uint8

@@ -1,5 +1,6 @@
 """Shape/behavior tests for the Flax model zoo."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -84,6 +85,7 @@ def test_unet3d_shapes():
     assert out.shape == (1, 16, 32, 32, 1)
 
 
+@pytest.mark.slow  # 38 s grad compile; learning asserted end-to-end in test_trainer (fast)
 def test_unet_gradients_flow():
     model = build_unet("unet", "resnet18", "none", classes=1)
     x = jnp.asarray(np.random.default_rng(1)
@@ -330,6 +332,7 @@ def test_unetpp_fused_matches_naive():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow  # 42 s of 3-D compiles; 3-D path also covered by trainer3d e2e (slow)
 def test_unet3d_fused_up_matches_naive():
     """The 1x1x1-phase relowering of the kernel-2 stride-2 transpose conv
     is exactly the transpose conv (every output voxel has one tap):

@@ -96,6 +96,7 @@ def test_sharded_validate_ignores_padding_rows(rng):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # 23 s 8-device e2e; volume_affine_shards contract stays fast
 def test_volume_affine_sharded_eval_dedups(rng):
     """End-to-end VolumeSampler contract: shard volumes (pad-to-max), eval
     per shard, dedup by slice id -> identical per-volume dice to the
