@@ -21,7 +21,7 @@ def test_replay_gate_synthetic_dry_run(tmp_path, monkeypatch):
     # tiny corpus + reference batch size 8 -> few steps/epoch; the dry run
     # only asserts the gate machinery + that the mask is being learned
     # (the REAL gate keeps min-dice 0.97 over 973 volumes)
-    rc = main(["--synthetic", "3", "--epochs", "4",
+    rc = main(["--synthetic", "5", "--epochs", "8",
                "--work-dir", str(tmp_path / "gate"),
                "--min-dice", "0.7"])
     assert rc == 0
