@@ -205,10 +205,13 @@ class _DecoderBlock(nn.Module):
     # Blocks whose channel count is at most this run FULLY phase-internal
     # (skip conv as a strided 4x4 phase-emitting conv, conv2 dense-embedded,
     # BN/ReLU in phase space, ONE depth_to_space at the block output).
-    # Wider blocks (128/256 ch) already fill the MXU's 128 lanes at high
-    # resolution, and the dense lowering's 4x FLOPs would lose there — they
-    # keep the hybrid lowering (phase up-conv only).
-    _PHASE_INTERNAL_MAX_CH = 64
+    # Wider blocks already fill the MXU's 128 lanes, and the dense
+    # lowering's 4x FLOPs lose there — they keep the hybrid lowering
+    # (phase up-conv only). 32 is the measured crossover
+    # (scripts/measure_phase_threshold.py: the 64-feature block flipped
+    # from phase to hybrid gains +4% b256 inference, train unchanged —
+    # consistent with micro_cascade_conv.py's 72-channel loss).
+    _PHASE_INTERNAL_MAX_CH = 32
 
     def _fused(self, x, skip, train: bool):
         """Phase-space lowering of the decoder block (models/phaseconv.py).

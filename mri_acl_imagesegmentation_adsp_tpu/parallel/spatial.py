@@ -1,0 +1,129 @@
+"""Spatial (halo-exchange) sharding for 3-D convolutions.
+
+SURVEY.md §5.7 names this the TPU-native analog of "sequence scaling" for
+this codebase: the long axis is the slice/depth axis of a volume, and the
+stretch goal is sharding conv feature maps spatially across the mesh with
+halo exchange — so a volume larger than one chip's HBM can run 3-D
+convolution stacks with each chip holding only its depth band.
+
+Design: the volume is sharded along depth (axis 1 of NDHWC) over the mesh
+axis. A SAME conv with kernel depth 3 needs one neighbor plane on each
+side of every local band; inside ``shard_map`` each shard sends its edge
+planes to its neighbors with ``lax.ppermute`` (one hop over ICI), zeroes
+the halos at the volume boundary (== SAME zero padding), and runs a depth-
+VALID conv on the haloed band. The result is EXACTLY the unsharded SAME
+conv, tested against the single-device oracle on the 8-device CPU mesh.
+
+The reference has no such capability anywhere (its 3-D path crops
+160x160x64 ROIs to fit one GPU, src/train/train_unet3d.py:39-54); this is
+a capability extension, not a parity item.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:                                      # jax >= 0.4.35 stable path
+    from jax import shard_map
+except ImportError:                       # older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def _exchange_depth_halos(xl: jnp.ndarray, axis: str, halo: int):
+    """Return (from_prev, from_next) halo planes for a local depth band.
+
+    ``xl``: (N, d_local, H, W, C). Each shard sends its top ``halo`` planes
+    to the previous shard and its bottom ``halo`` planes to the next; the
+    first/last shards receive zeros (SAME zero padding at volume edges)."""
+    n = lax.psum(1, axis)
+    idx = lax.axis_index(axis)
+    fwd = [(i, (i + 1) % n) for i in range(n)]      # i -> i+1 (wraps)
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    # what shard i RECEIVES over fwd is shard i-1's bottom planes
+    from_prev = lax.ppermute(xl[:, -halo:], axis, fwd)
+    from_next = lax.ppermute(xl[:, :halo], axis, bwd)
+    from_prev = jnp.where(idx == 0, 0.0, from_prev)       # no upper neighbor
+    from_next = jnp.where(idx == n - 1, 0.0, from_next)   # no lower neighbor
+    return from_prev, from_next
+
+
+def conv3d_depth_sharded(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
+                         axis: str = "data") -> jnp.ndarray:
+    """SAME NDHWC conv3d with the volume sharded along depth over ``axis``.
+
+    ``x``: (N, D, H, W, Cin) with D divisible by the mesh axis size;
+    ``kernel``: (kd, kh, kw, Cin, Cout) with odd kd (the depth halo is
+    (kd-1)/2 planes per side). Equals the unsharded
+    ``lax.conv_general_dilated(..., "SAME")`` exactly; each shard computes
+    only its depth band and the halos move point-to-point over ICI.
+    """
+    kd = kernel.shape[0]
+    if kd % 2 != 1:
+        raise ValueError("kernel depth must be odd for SAME halo sharding")
+    halo = (kd - 1) // 2
+    nsh = mesh.shape[axis]
+    if x.shape[1] % nsh:
+        raise ValueError(f"depth {x.shape[1]} not divisible by {nsh} shards")
+    if halo and x.shape[1] // nsh < halo:
+        raise ValueError("local depth band smaller than the halo")
+
+    def local(xl, k):
+        if halo:
+            prev_p, next_p = _exchange_depth_halos(xl, axis, halo)
+            xl = jnp.concatenate([prev_p, xl, next_p], axis=1)
+        # depth VALID over the haloed band == SAME on the global volume;
+        # H/W stay SAME-padded locally (they are not sharded)
+        hw_pad = [(kernel.shape[1] // 2,) * 2, (kernel.shape[2] // 2,) * 2]
+        return lax.conv_general_dilated(
+            xl, k, (1, 1, 1), [(0, 0)] + hw_pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, axis), P()),
+                   out_specs=P(None, axis))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    return fn(xs, kernel)
+
+
+def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
+                               axis: str = "data") -> jnp.ndarray:
+    """Run a stack of SAME conv3d (+ReLU between) layers depth-sharded.
+
+    One jitted shard_map region: halos are exchanged per layer (each conv
+    consumes one fresh halo ring) while the band itself never leaves its
+    chip — the communication per layer is 2 planes/shard however deep the
+    stack is. Demonstrates the production pattern for whole-volume 3-D
+    feature extraction beyond single-chip HBM."""
+    halos = [(k.shape[0] - 1) // 2 for k in kernels]
+    nsh = mesh.shape[axis]
+    if x.shape[1] % nsh:
+        raise ValueError(f"depth {x.shape[1]} not divisible by {nsh} shards")
+    if any(h and x.shape[1] // nsh < h for h in halos):
+        raise ValueError("local depth band smaller than a layer's halo")
+
+    def local(xl, *ks):
+        for i, k in enumerate(ks):
+            if halos[i]:
+                prev_p, next_p = _exchange_depth_halos(xl, axis, halos[i])
+                xl = jnp.concatenate([prev_p, xl, next_p], axis=1)
+            hw_pad = [(k.shape[1] // 2,) * 2, (k.shape[2] // 2,) * 2]
+            xl = lax.conv_general_dilated(
+                xl, k, (1, 1, 1), [(0, 0)] + hw_pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            if i + 1 < len(ks):
+                xl = nn_relu(xl)
+        return xl
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, axis),) + (P(),) * len(kernels),
+                   out_specs=P(None, axis))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    return fn(xs, *kernels)
+
+
+def nn_relu(x):
+    return jnp.maximum(x, 0)
