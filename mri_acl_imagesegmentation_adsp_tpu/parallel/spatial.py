@@ -115,7 +115,7 @@ def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
                 xl, k, (1, 1, 1), [(0, 0)] + hw_pad,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             if i + 1 < len(ks):
-                xl = nn_relu(xl)
+                xl = jnp.maximum(xl, 0)          # ReLU between layers
         return xl
 
     fn = shard_map(local, mesh=mesh,
@@ -123,7 +123,3 @@ def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
                    out_specs=P(None, axis))
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     return fn(xs, *kernels)
-
-
-def nn_relu(x):
-    return jnp.maximum(x, 0)

@@ -204,6 +204,9 @@ class VarNetBlock(nn.Module):
     """One unrolled iteration: soft DC + U-Net regularizer (SoA)."""
     chans: int
     pools: int
+    # documentation of the regularizer's expected channel count (2*aves);
+    # Flax infers the actual width from the input — kept for the vendored
+    # constructor surface (varnet.py:265-306)
     reg_in_chans: int
     dtype: jnp.dtype = jnp.float32
     phase_max_chans: int = 0
