@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--lr-gamma", type=float, default=0.1)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="Same-shape samples per optimizer step (amortizes "
+                        "the step's fixed cost; vendored trains at 1).")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-amp", dest="amp", action="store_false")
     p.set_defaults(amp=True)
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
         sens_pools=args.sens_pools, sens_chans=args.sens_chans, lr=args.lr,
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
-        amp=args.amp)
+        amp=args.amp, batch_size=args.batch_size)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds)
     if args.mode == "train":
         trainer.fit(resume=args.resume,

@@ -68,6 +68,15 @@ class VarNetArgs:
     crop: int = 100
     seed: int = 42
     amp: bool = True
+    # samples per optimizer step (same-shape samples group into one step;
+    # shape-mismatched neighbors flush early, so variable-size corpora stay
+    # valid). The vendored PL setup trains VarNet at batch_size 1
+    # (data_module.py) and MEASURED on the v5e the protocol config should
+    # too: b=2 is 98.3 ms/sample vs 85.4 at b=1 (backward-activation HBM
+    # pressure outweighs fixed-cost amortization once the phase lowering
+    # has removed the narrow-conv inefficiency) and b=4 exceeds 16 GB HBM
+    # (scripts/measure_varnet_batch.py). Useful for small configs.
+    batch_size: int = 1
 
 
 class VarNetTrainer:
@@ -151,19 +160,32 @@ class VarNetTrainer:
 
     # ------------------------------------------------------------------
 
+    def _step_batch(self, batch) -> float:
+        k = jnp.asarray(np.stack([s.kspace for s in batch]))
+        e = jnp.asarray(np.stack([s.espirit for s in batch]))
+        t = jnp.asarray(np.stack([s.target for s in batch]))
+        mv = jnp.asarray([s.max_value for s in batch], jnp.float32)
+        self._init_if_needed(k[:1], e[:1])
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            self._lr_now(), jnp.float32)
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, k, e, t, mv)
+        return float(loss)
+
     def train_one_epoch(self) -> float:
+        bs = max(1, int(getattr(self.args, "batch_size", 1)))
         run, nb = 0.0, 0
+        batch = []
         for sample in self.train_ds:
-            k = jnp.asarray(sample.kspace)[None]
-            e = jnp.asarray(sample.espirit)[None]
-            t = jnp.asarray(sample.target)[None]
-            mv = jnp.asarray([sample.max_value], jnp.float32)
-            self._init_if_needed(k, e)
-            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                self._lr_now(), jnp.float32)
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, k, e, t, mv)
-            run += float(loss)
+            if batch and (len(batch) >= bs
+                          or sample.kspace.shape != batch[0].kspace.shape
+                          or sample.target.shape != batch[0].target.shape):
+                run += self._step_batch(batch)
+                nb += 1
+                batch = []
+            batch.append(sample)
+        if batch:
+            run += self._step_batch(batch)
             nb += 1
         return run / max(1, nb)
 

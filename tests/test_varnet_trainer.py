@@ -150,3 +150,29 @@ def test_varnet_reconstruct_exports_h5(tmp_path, rng):
     with h5py.File(out_dir / "volA.h5", "r") as hf:
         np.testing.assert_allclose(hf["reconstruction"][:],
                                    stacks["volA.h5"], rtol=1e-6)
+
+
+def test_varnet_trainer_batched_steps(tmp_path, rng):
+    """batch_size groups same-shape samples into one optimizer step (the
+    fixed-cost amortization path); shape mismatches flush early and the
+    leftover tail still trains. Counted via a step-spy."""
+    train = _fake_samples(rng, n=4) + _fake_samples(
+        rng, n=1, h=24, w=16, fname="odd.h5")      # shape break -> flush
+    val = _fake_samples(rng, n=2, fname="volA.h5")
+    args = VarNetArgs(out_dir=str(tmp_path), bvalue="b50", num_cascades=1,
+                      chans=4, pools=2, sens_chans=4, sens_pools=2,
+                      epochs=1, crop=12, amp=False, batch_size=2)
+    t = VarNetTrainer(args, train_ds=train, val_ds=val)
+    sizes = []
+    orig = t._step_batch
+
+    def spy(batch):
+        sizes.append(len(batch))
+        return orig(batch)
+
+    t._step_batch = spy
+    result = t.fit()
+    # 4 same-shape samples -> two steps of 2; the odd-shape sample flushes
+    # into its own step of 1
+    assert sizes == [2, 2, 1]
+    assert np.isfinite(result["history"][0]["train_loss"])
