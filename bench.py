@@ -91,13 +91,16 @@ def bench_inference(jax, jnp) -> Tuple[float, float]:
         return jax.lax.scan(body, None, x_all)[1]
 
     probs = infer_all(params, batch_stats, x_all)  # compile + warm
-    probs.block_until_ready()
-    np.asarray(probs[0, 0, :2, :2])  # surface lazy errors once
+    np.asarray(probs[0, 0, :2, :2])  # sync + surface lazy errors once
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
         probs = infer_all(params, batch_stats, x_all)
-    probs.block_until_ready()
+    # sync via a scalar fetch: on this relay block_until_ready has been
+    # observed returning before execution completes (a /tmp sweep measured
+    # an impossible 5M slices/s with it; the scalar fetch agrees with the
+    # profiler trace)
+    np.asarray(probs[(0,) * probs.ndim])
     t1 = time.perf_counter()
     sustained = reps * SCAN_STEPS * BATCH_SUSTAINED / (t1 - t0)
     return sustained, per_dispatch
