@@ -22,3 +22,31 @@ Layer map (mirrors reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _sync_platform_from_env() -> None:
+    """Make the ``JAX_PLATFORMS`` env var effective despite pre-imported jax.
+
+    On this image a sitecustomize hook imports jax and registers the TPU
+    plugin before any user code runs, so by the time a subprocess (CLI tool,
+    test) starts, jax has already snapshotted its platform config and the
+    ``JAX_PLATFORMS`` environment variable no longer selects the backend.
+    A child launched with ``JAX_PLATFORMS=cpu`` would silently land on the
+    TPU relay — and hang if the relay is down. Mirror the env var into the
+    live config at package import so the documented control works; a no-op
+    when jax already initialized a backend (then it's too late by design).
+    """
+    plats = _os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            import jax
+
+            if getattr(jax.config, "jax_platforms", None) != plats:
+                jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass  # never let platform plumbing break an import
+
+
+_sync_platform_from_env()

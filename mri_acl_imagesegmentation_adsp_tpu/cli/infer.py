@@ -48,9 +48,24 @@ def load_model_from_ckpt(ckpt_path: str):
     return model, params, batch_stats, args
 
 
+def make_input_norm(imagenet_norm: bool):
+    """The trainer's input transform (trainer._input_transform): replicate
+    1->3 channels, then per-encoder-channel mean/std normalize."""
+    def norm(x):
+        if imagenet_norm:
+            if x.shape[-1] == 1:
+                x = jnp.repeat(x, 3, axis=-1)
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            x = (x - mean) / std
+        return x
+    return norm
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("Whole-volume segmentation inference")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", help="trained checkpoint (optional with "
+                                  "--qtree: the artifact is self-contained)")
     p.add_argument("--list", dest="list_txt", required=True,
                    help="txt file of volume.npz paths")
     p.add_argument("--out-dir", default="preds")
@@ -59,25 +74,61 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", action="store_true",
                    help="compute dice/iou/hd95/assd vs the packed masks")
     p.add_argument("--save-probs", action="store_true")
+    p.add_argument("--quant", choices=("none", "int8", "folded"),
+                   default="none",
+                   help="post-training quantized serving path "
+                        "(infer/quant.py): int8 = w8a8 MXU convs, folded = "
+                        "BN-folded weight-only int8 (float activations)")
+    p.add_argument("--qtree",
+                   help="pre-exported quantized artifact (cli.quantize); "
+                        "serves without the original checkpoint")
     args = p.parse_args(argv)
+    if not args.ckpt and not args.qtree:
+        p.error("one of --ckpt / --qtree is required")
+
+    if args.qtree:
+        from .quantize import load_engine
+        eng, qtree, meta = load_engine(args.qtree)
+        k, classes = meta["k"], meta["classes"]
+        norm = make_input_norm(meta["imagenet_norm"])
+
+        def apply_fn(x):
+            return eng.apply(qtree, norm(x))
+
+        out_err = _run(args, apply_fn, k, classes)
+        return out_err
 
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     k = margs.get("k", 1)
     classes = margs.get("classes", 1)
-    imagenet_norm = bool(margs.get("imagenet_norm"))
+    norm = make_input_norm(bool(margs.get("imagenet_norm")))
 
-    def apply_fn(x):
-        if imagenet_norm:
-            # same input transform as training (trainer._input_transform):
-            # replicate 1->3 channels, then per-channel mean/std normalize
-            if x.shape[-1] == 1:
-                x = jnp.repeat(x, 3, axis=-1)
-            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
-            x = (x - mean) / std
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           x, train=False)
+    if args.quant != "none":
+        if margs.get("model", "unet") not in ("unet", "unetpp"):
+            raise SystemExit("--quant supports the unet/unetpp families")
+        from ..infer.quant import QuantConfig, QuantizedUNet2D
+        from ..infer.segment import _neighbor_stack
+        vols = read_list(args.list_txt)
+        with np.load(vols[0]) as z:
+            vol0 = z["img"].astype(np.float32)
+        x0 = _neighbor_stack(jnp.asarray(vol0[:, 0]), k)[:16]
+        calib = [np.asarray(norm(x0), np.float32)]
+        eng, qtree = QuantizedUNet2D.from_model(
+            model, {"params": params, "batch_stats": batch_stats}, calib,
+            QuantConfig(mode=args.quant, compute_dtype=model.dtype))
 
+        def apply_fn(x):
+            return eng.apply(qtree, norm(x))
+    else:
+        def apply_fn(x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                norm(x), train=False)
+
+    return _run(args, apply_fn, k, classes)
+
+
+def _run(args, apply_fn, k: int, classes: int) -> int:
     out_root = Path(args.out_dir)
     out_root.mkdir(parents=True, exist_ok=True)
     summary = []

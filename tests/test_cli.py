@@ -39,6 +39,21 @@ def test_launcher_help_runs():
         assert flag in out.stdout
 
 
+def test_jax_platforms_env_honored_in_subprocess():
+    """Importing the package makes JAX_PLATFORMS effective even though
+    sitecustomize pre-imports jax (so CLI subprocesses asked to run on CPU
+    never silently land on the TPU relay)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import mri_acl_imagesegmentation_adsp_tpu, jax; "
+         "print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=120)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
 @pytest.mark.slow
 def test_infer_cli_end_to_end(tmp_path, rng):
     """Train a tiny model via the trainer, then run the infer CLI on it."""
@@ -83,6 +98,39 @@ def test_infer_cli_end_to_end(tmp_path, rng):
     pred = np.load(summary[0]["pred_path"])
     assert pred.shape == (6, 48, 48)
     assert pred.dtype == np.uint8
+
+    # quantized serving path: int8 predictions must agree with f32
+    qdir = tmp_path / "preds_q"
+    rc = infer_main(["--ckpt", str(tmp_path / "run" / "best.ckpt"),
+                     "--list", str(lst), "--out-dir", str(qdir),
+                     "--quant", "int8"])
+    assert rc == 0
+    qsummary = json.loads((qdir / "summary.json").read_text())
+    qpred = np.load(qsummary[0]["pred_path"])
+    inter = np.sum((qpred > 0) & (pred > 0))
+    dice = 2.0 * inter / max(qpred.sum() + pred.sum(), 1)
+    assert dice > 0.97, f"int8 CLI prediction dice vs f32: {dice}"
+
+    # export a serving artifact, then serve from it WITHOUT the checkpoint
+    from mri_acl_imagesegmentation_adsp_tpu.cli.quantize import (
+        main as quantize_main)
+    qpath = tmp_path / "quant_int8.npz"
+    # one 16-slice calib batch == the inline --quant path's calibration,
+    # so the artifact must reproduce its predictions exactly
+    rc = quantize_main(["--ckpt", str(tmp_path / "run" / "best.ckpt"),
+                        "--list", str(lst), "--out", str(qpath),
+                        "--calib-batches", "1"])
+    assert rc == 0 and qpath.exists()
+    meta = json.loads((tmp_path / "quant_int8.npz.meta.json").read_text())
+    assert meta["mode"] == "int8" and meta["arch"] == "unet"
+    adir = tmp_path / "preds_artifact"
+    rc = infer_main(["--qtree", str(qpath), "--list", str(lst),
+                     "--out-dir", str(adir)])
+    assert rc == 0
+    apred = np.load(json.loads(
+        (adir / "summary.json").read_text())[0]["pred_path"])
+    # same engine + same quantized weights -> identical predictions
+    np.testing.assert_array_equal(apred, qpred)
 
 
 @pytest.mark.slow  # 17 s subprocess e2e; CLI surface covered by fast test_cli cases

@@ -1,0 +1,194 @@
+"""int8 post-training quantization (infer/quant.py).
+
+CPU tests: fold exactness against the live model, int8 fidelity on a
+briefly-trained network (prediction agreement), and the bottleneck-encoder
+tree walk.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mri_acl_imagesegmentation_adsp_tpu.infer.quant import (
+    QuantConfig, QuantizedUNet2D)
+from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import ResNetEncoderUNet
+
+
+def _blob_batch(rng, n, hw=64):
+    yy, xx = np.mgrid[:hw, :hw]
+    xs, ys = [], []
+    for i in range(n):
+        cy, cx, r = rng.integers(16, hw - 16), rng.integers(16, hw - 16), \
+            rng.integers(8, 16)
+        m = ((yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2)
+        img = m * 1.0 + 0.15 * rng.standard_normal((hw, hw))
+        xs.append(img.astype(np.float32))
+        ys.append(m.astype(np.float32))
+    return (np.stack(xs)[..., None], np.stack(ys))
+
+
+def _tiny_model(encoder="resnet18"):
+    return ResNetEncoderUNet(encoder=encoder, classes=1,
+                             decoder_channels=(32, 16, 8, 8, 8),
+                             dtype=jnp.float32, fused_decoder=False)
+
+
+def _trained_variables(model, steps=24, hw=64):
+    """A few Adam steps on blob data — enough for confident logits."""
+    import optax
+    rng = np.random.default_rng(0)
+    x0, _ = _blob_batch(rng, 2, hw)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x0),
+                           train=True)
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt, x, y):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"])
+            z = logits[..., 0]
+            l = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(z, y))
+            return l, upd["batch_stats"]
+        (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        u, new_opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), new_bs, new_opt, l
+
+    for i in range(steps):
+        x, y = _blob_batch(rng, 4, hw)
+        params, bs, opt, l = step(params, bs, opt, jnp.asarray(x),
+                                  jnp.asarray(y))
+    assert float(l) < 0.35, f"toy training failed to descend: {float(l)}"
+    return {"params": params, "batch_stats": bs}
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model = _tiny_model()
+    return model, _trained_variables(model)
+
+
+def test_fold_exactness(trained):
+    """BN-folded f32 forward == the live model's eval forward."""
+    model, variables = trained
+    rng = np.random.default_rng(1)
+    x, _ = _blob_batch(rng, 3)
+    want = model.apply(variables, jnp.asarray(x), train=False)
+
+    eng = QuantizedUNet2D(model.encoder, model.classes,
+                          model.decoder_channels,
+                          QuantConfig(mode="folded",
+                                      compute_dtype=jnp.float32))
+    folded = eng.fold(variables)
+    got = eng.apply_folded(folded, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int8_prediction_agreement(trained):
+    """w8a8 predictions agree with f32 on a trained model (Dice >= 0.98)."""
+    model, variables = trained
+    rng = np.random.default_rng(2)
+    calib = [_blob_batch(rng, 4)[0] for _ in range(3)]
+    eng, qtree = QuantizedUNet2D.from_model(
+        model, variables, calib,
+        QuantConfig(mode="int8", compute_dtype=jnp.float32))
+
+    x, _ = _blob_batch(rng, 6)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    got = np.asarray(jax.jit(eng.apply)(qtree, jnp.asarray(x)))
+
+    pm, rm = got[..., 0] > 0.0, ref[..., 0] > 0.0
+    inter = (pm & rm).sum()
+    dice = 2.0 * inter / max(pm.sum() + rm.sum(), 1)
+    assert dice >= 0.98, f"quantized/f32 prediction dice {dice}"
+    # logits track closely where the reference is confident
+    conf = np.abs(ref) > 1.0
+    corr = np.corrcoef(got[conf].ravel(), ref[conf].ravel())[0, 1]
+    assert corr > 0.99, f"logit correlation {corr}"
+
+
+def test_int8_tree_is_int8_and_roundtrips(trained, tmp_path):
+    from mri_acl_imagesegmentation_adsp_tpu.infer.quant import (
+        load_qtree, save_qtree)
+    model, variables = trained
+    rng = np.random.default_rng(3)
+    eng, qtree = QuantizedUNet2D.from_model(
+        model, variables, [_blob_batch(rng, 2)[0]])
+    assert all(leaf["w_q"].dtype == jnp.int8 for leaf in qtree.values())
+    # head keeps its bias; folded convs carry the BN shift
+    assert qtree["Conv_0"]["bias"] is not None
+    assert qtree["enc/Conv_0"]["bias"] is not None
+
+    # serving artifact round-trip: identical quantized outputs
+    save_qtree(str(tmp_path / "q.npz"), qtree)
+    loaded = load_qtree(str(tmp_path / "q.npz"))
+    x, _ = _blob_batch(rng, 2)
+    a = np.asarray(eng.apply(qtree, jnp.asarray(x)))
+    b = np.asarray(eng.apply(loaded, jnp.asarray(x)))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_unetpp_fold_and_quant():
+    """UNetPlusPlus (nested grid) folds exactly and quantizes sanely."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import UNetPlusPlus
+    model = UNetPlusPlus(encoder="resnet18", classes=1,
+                         decoder_channels=(32, 16, 8, 8, 8),
+                         dtype=jnp.float32, fused_decoder=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=True)
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(6).standard_normal(
+            a.shape).astype(a.dtype), variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    x = np.random.default_rng(7).standard_normal((2, 64, 64, 1)
+                                                 ).astype(np.float32)
+    want = model.apply(variables, jnp.asarray(x), train=False)
+
+    eng = QuantizedUNet2D(model.encoder, model.classes,
+                          model.decoder_channels,
+                          QuantConfig(mode="folded",
+                                      compute_dtype=jnp.float32),
+                          arch="unetpp")
+    got = eng.apply_folded(eng.fold(variables), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    eng8, qtree = QuantizedUNet2D.from_model(model, variables, [x])
+    assert eng8.arch == "unetpp"
+    out = np.asarray(jax.jit(eng8.apply)(qtree, jnp.asarray(x)))
+    assert out.shape == want.shape and np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_bottleneck_fold_and_quant():
+    """resnet50 (bottleneck) tree walks + folds + quantizes correctly."""
+    model = _tiny_model("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=True)
+    # make running stats non-trivial so the fold actually does something
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(4).standard_normal(
+            a.shape).astype(a.dtype), variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    x = np.random.default_rng(5).standard_normal((2, 64, 64, 1)
+                                                 ).astype(np.float32)
+    want = model.apply(variables, jnp.asarray(x), train=False)
+
+    eng = QuantizedUNet2D(model.encoder, model.classes,
+                          model.decoder_channels,
+                          QuantConfig(mode="folded",
+                                      compute_dtype=jnp.float32))
+    got = eng.apply_folded(eng.fold(variables), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    eng8, qtree = QuantizedUNet2D.from_model(model, variables, [x])
+    out = np.asarray(jax.jit(eng8.apply)(qtree, jnp.asarray(x)))
+    assert out.shape == want.shape and np.isfinite(out).all()
