@@ -90,6 +90,7 @@ class Engine:
         mesh: Optional[Mesh] = None,
         donate: bool = True,
         input_transform: Optional[Callable] = None,
+        scan_unroll: int = 1,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -97,6 +98,10 @@ class Engine:
         self.classes = int(classes)
         self.aug = aug
         self.mesh = mesh
+        # unroll>1 replicates the step body inside the epoch scan so XLA
+        # can overlap one step's optimizer tail with the next step's
+        # forward pass (at unroll x compile time/code size)
+        self.scan_unroll = int(scan_unroll)
         # applied to x AFTER augmentation (reference order: datasets.py:128-131
         # normalizes after the albumentations pipeline), e.g. imagenet norm
         self.input_transform = input_transform or (lambda x: x)
@@ -195,7 +200,8 @@ class Engine:
             st, loss = self._train_step(st, x, y, key)
             return st, loss
 
-        state, losses = lax.scan(body, state, (perm, keys))
+        state, losses = lax.scan(body, state, (perm, keys),
+                                 unroll=self.scan_unroll)
         return state, losses
 
     def _eval_batches(self, params, batch_stats, images, masks, neighbors,

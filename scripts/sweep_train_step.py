@@ -81,6 +81,8 @@ def main():
 
     cases["base"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
                            classes=1, aug="light")
+    cases["unroll2"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
+                              classes=1, aug="light", scan_unroll=2)
     cases["aug_none"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
                                classes=1, aug="none")
     cases["no_clip"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 0.0),
@@ -99,7 +101,8 @@ def main():
                                  classes=1, aug="light")
 
     results = {}
-    for name in ("flips_only", "base", "aug_none", "no_clip", "sgd"):
+    for name in ("flips_only", "base", "unroll2", "aug_none", "no_clip",
+                 "sgd"):
         if name != "flips_only":
             aug_mod._warp_batch_separable = orig
         rate, ms = measure(cases[name], store)

@@ -93,3 +93,42 @@ def test_varnet_resume(tmp_path, rng):
     t3 = VarNetTrainer(args2, [], [])
     with pytest.raises(ValueError):
         t3.fit(resume=True)
+
+
+def test_epoch_scan_unroll_invariance(rng):
+    """scan_unroll replicates the step body for XLA overlap; the epoch's
+    per-step losses must match the rolled scan (same RNG stream, same
+    gathers, same optimizer states). Tolerance, not bit-equality: the
+    unrolled body fuses across step boundaries, so f32 reductions
+    reassociate (measured ~1e-4 relative by step 3 on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import (
+        SliceStore, epoch_permutation)
+    from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+    from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+        Engine, make_optimizer)
+    from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
+
+    n, h, w = 12, 32, 32
+    imgs = rng.standard_normal((n, h, w)).astype(np.float32)
+    msks = (imgs > 0).astype(np.int32)
+    store = SliceStore(images=imgs, masks=msks,
+                       vol_starts=np.asarray([0]),
+                       vol_sizes=np.asarray([n]),
+                       files=["x"]).to_device(k=1)
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1,
+                       dtype=jnp.float32)
+    loss = LossManager(classes=1, name="dice_bce")
+
+    losses = []
+    for unroll in (1, 3):  # 3 does not divide the 3-step epoch: remainder path
+        eng = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
+                     classes=1, aug="light", scan_unroll=unroll)
+        st = eng.init_state(jax.random.PRNGKey(0),
+                            jnp.zeros((1, h, w, 1), jnp.float32))
+        perm = epoch_permutation(jax.random.PRNGKey(1), n, 4)
+        st, ls, _ = eng.train_one_epoch(st, store, perm,
+                                        jax.random.PRNGKey(2), dataset_len=n)
+        losses.append(np.asarray(ls))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-3)
