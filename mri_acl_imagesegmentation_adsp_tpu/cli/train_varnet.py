@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=1,
                    help="Same-shape samples per optimizer step (amortizes "
                         "the step's fixed cost; vendored trains at 1).")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="Readahead threads over the slice dataset "
+                        "(vendored DataLoader num_workers analogue).")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-amp", dest="amp", action="store_false")
     p.set_defaults(amp=True)
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
         sens_pools=args.sens_pools, sens_chans=args.sens_chans, lr=args.lr,
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
-        amp=args.amp, batch_size=args.batch_size)
+        amp=args.amp, batch_size=args.batch_size,
+        num_workers=args.num_workers)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds)
     if args.mode == "train":
         trainer.fit(resume=args.resume,

@@ -68,16 +68,13 @@ class FastMRISinglecoilAdapter(BaseAdapter):
 
     def load_record(self, record: Dict[str, Any]) -> Dict[str, Any]:
         import h5py
+        from ..native import load_h5_slab
         fp, s = record["filepath"], record["slice_idx"]
         with h5py.File(fp, "r") as hf:
-            kspace = np.asarray(hf["kspace"][s])
-            target = None
-            target_key = None
-            for cand in self.TARGET_KEYS:
-                if cand in hf:
-                    target = np.asarray(hf[cand][s])
-                    target_key = cand
-                    break
+            target_key = next((c for c in self.TARGET_KEYS if c in hf), None)
+        kspace = load_h5_slab(fp, "kspace", [s], axis=0)[0]
+        target = (load_h5_slab(fp, target_key, [s], axis=0)[0]
+                  if target_key else None)
         return {
             "image": None,
             "mask": None,
@@ -104,15 +101,15 @@ class FastMRISinglecoilAdapter(BaseAdapter):
         SURVEY.md §3.1).
         """
         import h5py
+        from ..native import load_h5_slab
         with h5py.File(filepath, "r") as hf:
-            kspace = np.asarray(hf["kspace"])
-            target = None
-            target_key = None
-            for cand in self.TARGET_KEYS:
-                if cand in hf:
-                    target = np.asarray(hf[cand]).astype(np.float32)
-                    target_key = cand
-                    break
+            n = hf["kspace"].shape[0]
+            target_key = next((c for c in self.TARGET_KEYS if c in hf), None)
+        # full-volume reads via the native reader: gzip chunks inflate on a
+        # C++ thread pool instead of serially under h5py's lock
+        kspace = load_h5_slab(filepath, "kspace", range(n), axis=0)
+        target = (load_h5_slab(filepath, target_key, range(n), axis=0)
+                  .astype(np.float32) if target_key else None)
         metas = [{
             "filepath": filepath, "slice_idx": s, "dataset": "fastmri",
             "target_key": target_key, "adapter": "fastmri_singlecoil-h5",

@@ -148,33 +148,40 @@ class SliceDataset:
 
     def __getitem__(self, i: int):
         import h5py
+        from ..native import load_h5_slab
         fname, slice_ind, metadata = self.examples[i]
+        if self.bvalue == "b50":
+            target_key = "trace_b50"
+        elif self.bvalue == "b1000":
+            target_key = "trace_b1000"
+        else:
+            raise ValueError(f"unknown bvalue {self.bvalue}")
+        # h5py only for cheap metadata; the bulk gzip-chunk reads go through
+        # the native thread-pool reader (h5py-equivalent, pinned in
+        # tests/test_h5_reader.py) so, on multi-core hosts, prefetch threads
+        # decompress in parallel instead of queueing on h5py's global lock.
         with h5py.File(fname, "r") as hf:
-            kspace = hf["kspace"][:, slice_ind]
-            espirit = hf["coil_sens_maps"][slice_ind]
             regrid_params = get_regridding_params(hf["ismrmrd_header"][()])
-            regridded = np.empty(kspace.shape, dtype=kspace.dtype)
-            for average in range(kspace.shape[0]):
-                regridded[average] = trapezoidal_regridding(
-                    kspace[average], regrid_params)
-            if self.bvalue == "b50":
-                kspace = regridded[_B50_AVERAGES]
-                target = hf["trace_b50"][slice_ind]
-            elif self.bvalue == "b1000":
-                kspace = regridded[_B1000_AVERAGES]
-                target = hf["trace_b1000"][slice_ind]
-            else:
-                raise ValueError(f"unknown bvalue {self.bvalue}")
-
-            kspace = np.stack((kspace.real, kspace.imag), axis=-1)
-            espirit = np.stack((espirit.real, espirit.imag), axis=-1)
-            target = np.flip(target, 0)
-            espirit = np.expand_dims(espirit, 1)
-            kspace = np.transpose(kspace, [1, 0, 2, 3, 4])  # (coils, aves, h, w, 2)
-
             attrs = dict(hf.attrs)
-            attrs["max"] = np.max(target)
-            attrs.update(metadata)
+        kspace = load_h5_slab(str(fname), "kspace", [slice_ind], axis=1)[:, 0]
+        espirit = load_h5_slab(str(fname), "coil_sens_maps", [slice_ind],
+                               axis=0)[0]
+        target = load_h5_slab(str(fname), target_key, [slice_ind], axis=0)[0]
+        regridded = np.empty(kspace.shape, dtype=kspace.dtype)
+        for average in range(kspace.shape[0]):
+            regridded[average] = trapezoidal_regridding(
+                kspace[average], regrid_params)
+        kspace = regridded[_B50_AVERAGES if self.bvalue == "b50"
+                           else _B1000_AVERAGES]
+
+        kspace = np.stack((kspace.real, kspace.imag), axis=-1)
+        espirit = np.stack((espirit.real, espirit.imag), axis=-1)
+        target = np.flip(target, 0)
+        espirit = np.expand_dims(espirit, 1)
+        kspace = np.transpose(kspace, [1, 0, 2, 3, 4])  # (coils, aves, h, w, 2)
+
+        attrs["max"] = np.max(target)
+        attrs.update(metadata)
 
         if self.transform is None:
             return kspace, target, espirit, attrs, fname.name, slice_ind

@@ -77,6 +77,10 @@ class VarNetArgs:
     # has removed the narrow-conv inefficiency) and b=4 exceeds 16 GB HBM
     # (scripts/measure_varnet_batch.py). Useful for small configs.
     batch_size: int = 1
+    # readahead threads over the slice dataset (0 = synchronous). The
+    # torch-DataLoader-workers analogue (vendored data_module.py), realized
+    # as data.prefetch.Prefetcher + GIL-free native h5 slab reads.
+    num_workers: int = 0
 
 
 class VarNetTrainer:
@@ -173,10 +177,12 @@ class VarNetTrainer:
         return float(loss)
 
     def train_one_epoch(self) -> float:
+        from ..data.prefetch import prefetch
         bs = max(1, int(getattr(self.args, "batch_size", 1)))
         run, nb = 0.0, 0
         batch = []
-        for sample in self.train_ds:
+        for sample in prefetch(self.train_ds,
+                               int(getattr(self.args, "num_workers", 0))):
             if batch and (len(batch) >= bs
                           or sample.kspace.shape != batch[0].kspace.shape
                           or sample.target.shape != batch[0].target.shape):
@@ -197,7 +203,9 @@ class VarNetTrainer:
         target_norms = defaultdict(dict)
         ssim_vals = defaultdict(dict)
         max_vals: Dict[str, float] = {}
-        for sample in self.val_ds:
+        from ..data.prefetch import prefetch
+        for sample in prefetch(self.val_ds,
+                               int(getattr(self.args, "num_workers", 0))):
             k = jnp.asarray(sample.kspace)[None]
             e = jnp.asarray(sample.espirit)[None]
             self._init_if_needed(k, e)
