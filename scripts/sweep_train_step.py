@@ -83,6 +83,8 @@ def main():
                            classes=1, aug="light")
     cases["unroll2"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
                               classes=1, aug="light", scan_unroll=2)
+    cases["unroll4"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
+                              classes=1, aug="light", scan_unroll=4)
     cases["aug_none"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
                                classes=1, aug="none")
     cases["no_clip"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 0.0),
@@ -101,7 +103,8 @@ def main():
                                  classes=1, aug="light")
 
     results = {}
-    for name in ("flips_only", "base", "unroll2", "aug_none", "no_clip",
+    for name in ("flips_only", "base", "unroll2", "unroll4", "aug_none",
+                 "no_clip",
                  "sgd"):
         if name != "flips_only":
             aug_mod._warp_batch_separable = orig

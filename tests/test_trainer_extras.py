@@ -95,6 +95,36 @@ def test_varnet_resume(tmp_path, rng):
         t3.fit(resume=True)
 
 
+def test_varnet_num_workers_invariance(tmp_path, rng):
+    """Prefetched (num_workers>0) training must be bit-identical to the
+    synchronous path: the Prefetcher only overlaps loading, never reorders
+    the sample stream the optimizer sees."""
+    from mri_acl_imagesegmentation_adsp_tpu.data.transforms import VarNetSample
+    from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
+        VarNetArgs, VarNetTrainer)
+
+    def make(n, fname, seed):
+        r = np.random.default_rng(seed)
+        tg = [np.abs(r.standard_normal((16, 16))).astype(np.float32) + 0.2
+              for _ in range(n)]
+        mv = float(max(t.max() for t in tg))
+        return [VarNetSample(
+            r.standard_normal((2, 3, 16, 16, 2)).astype(np.float32),
+            tg[s],
+            r.standard_normal((2, 3, 16, 16, 2)).astype(np.float32),
+            fname, s, mv, (16, 16)) for s in range(n)]
+
+    histories = []
+    for workers in (0, 2):
+        args = VarNetArgs(out_dir=str(tmp_path / f"w{workers}"),
+                          num_cascades=1, chans=4, pools=2, sens_chans=4,
+                          sens_pools=2, epochs=1, crop=12, amp=False,
+                          num_workers=workers)
+        t = VarNetTrainer(args, make(5, "a.h5", 0), make(2, "b.h5", 1))
+        histories.append(t.fit()["history"])
+    assert histories[0] == histories[1]
+
+
 def test_epoch_scan_unroll_invariance(rng):
     """scan_unroll replicates the step body for XLA overlap; the epoch's
     per-step losses must match the rolled scan (same RNG stream, same
