@@ -192,6 +192,18 @@ def bench_preprocess(jnp, slices: int = 36, vols: int = 3):
     t1 = time.perf_counter()
     sustained = vols * slices / (t1 - t0)
 
+    # bf16 link transfer: halves the upload bytes that bound the sustained
+    # rate; exact on TPU (default-precision DFT matmuls round operands
+    # through bf16 regardless — see preprocess_volumes_pairs docstring)
+    pre.preprocess_volumes_pairs(pairs[:1], transfer_dtype="bfloat16")
+    t0 = time.perf_counter()
+    outs16 = pre.preprocess_volumes_pairs(pairs, transfer_dtype="bfloat16")
+    t1 = time.perf_counter()
+    sustained_bf16 = vols * slices / (t1 - t0)
+    # sanity only (exactness is asserted in scripts/verify_tpu.py; bench
+    # may also run on CPU where the paths differ by input rounding)
+    assert (outs16[0]["mask"] == outs[0]["mask"]).mean() > 0.99
+
     # device-compute rate: inputs already in HBM, outputs stay in HBM
     # (sync via a single-SCALAR fetch per leaf; never ravel()/reshape a
     # trailing-pair array on this backend — the reshape copy materializes
@@ -214,7 +226,7 @@ def bench_preprocess(jnp, slices: int = 36, vols: int = 3):
             scalar(leaf)
         best = min(best, time.perf_counter() - t0)
     device_rate = vols * slices / best
-    return sustained, device_rate
+    return sustained, device_rate, sustained_bf16
 
 
 def bench_grappa(slices: int = 10, coils: int = 20, ro: int = 640,
@@ -272,7 +284,7 @@ def main() -> None:
         # tuned throughput config (batch 32) alongside the reference batch 8
         extras["train_slices_per_sec_b32_aug_light"] = round(
             bench_train(jax, jnp, "light", batch=32), 2)
-        pre_sustained, pre_device = bench_preprocess(jnp)
+        pre_sustained, pre_device, pre_bf16 = bench_preprocess(jnp)
         # The chip-rate is the headline preprocess number (one vmapped
         # dispatch per volume, ~5 ms/slice); the sustained corpus rate over
         # THIS environment's ~33 MB/s remote relay is link-bound and
@@ -281,6 +293,8 @@ def main() -> None:
         extras["preprocess_slices_per_sec"] = round(pre_device, 2)
         extras["preprocess_sustained_over_relay_slices_per_sec"] = round(
             pre_sustained, 2)
+        extras["preprocess_sustained_bf16link_slices_per_sec"] = round(
+            pre_bf16, 2)
         extras["grappa_t2_s_per_slice"] = round(bench_grappa(), 2)
     except Exception as exc:  # extras must never sink the headline
         extras["error"] = f"{type(exc).__name__}: {exc}"

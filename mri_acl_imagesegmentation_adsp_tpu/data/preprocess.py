@@ -89,6 +89,9 @@ class MRIKneePreprocessor:
         batched, so the vmapped path stays cheap to compile).
         """
         if from_kspace:
+            # accept bf16 link-transferred pairs (see
+            # preprocess_volumes_pairs(transfer_dtype=...)); a no-op for f32
+            x = x.astype(jnp.float32)
             if x.ndim == 4:                       # (C, H, W, 2) multi-coil
                 img = rss_complex(ifft2c_pair(x), axis=0).astype(jnp.float32)
             else:
@@ -263,7 +266,8 @@ class MRIKneePreprocessor:
                                        "kspace", metas)
 
     def preprocess_volumes_pairs(self, kspace_pairs,
-                                 metas_list: Optional[List] = None
+                                 metas_list: Optional[List] = None,
+                                 transfer_dtype: Optional[str] = None
                                  ) -> List[Dict[str, Any]]:
         """Pipelined bulk path over MANY volumes (each (S,H,W,2) pairs).
 
@@ -274,11 +278,26 @@ class MRIKneePreprocessor:
         overlapping hides the compute entirely. Results are identical to
         per-volume ``preprocess_volume_pairs`` calls (same chain, same
         keep band, same exact-CC fallback).
+
+        ``transfer_dtype="bfloat16"`` halves the bytes on the host->device
+        link (the k-space upload dominates the corpus transfer budget) by
+        rounding the pair to bf16 on host and upcasting on device. On a TPU
+        at DEFAULT matmul precision this is exact, not approximate: the
+        k-space pair's first device use is the centered-DFT matmuls
+        (ops/fftc.py), whose f32 operands XLA rounds through bf16 anyway —
+        round-to-nearest is idempotent, so pre-rounding on host produces
+        bit-identical magnitudes. (On CPU, where matmuls keep full f32
+        operands, the bf16 path differs by the input rounding — tolerance-
+        tested there, exactness asserted in the TPU verification recipe.)
         """
+        if transfer_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(f"unsupported transfer_dtype {transfer_dtype!r}")
+        link_dt = (jnp.bfloat16 if transfer_dtype == "bfloat16"
+                   else jnp.float32)
         metas_list = metas_list or [None] * len(kspace_pairs)
         staged = []
         for pair, metas in zip(kspace_pairs, metas_list):
-            stack = jnp.asarray(pair)
+            stack = jnp.asarray(np.asarray(pair, np.float32), dtype=link_dt)
             ns = stack.shape[0]
             s0, s1 = self._keep_band(ns)
             out = self._volume_chain_vmapped(stack[s0:s1], True)

@@ -68,6 +68,24 @@ z0 = np.asarray(chain(jnp.zeros_like(jnp.asarray(k_pair)))[3])
 assert np.isfinite(z0).all()
 step("   constant-input degenerate branch OK")
 
+# bf16 link transfer: at DEFAULT matmul precision the DFT rounds f32
+# operands through bf16 anyway, so a host-side pre-round must be EXACT on
+# the TPU (preprocess_volumes_pairs(transfer_dtype="bfloat16") rides this)
+step("1b. bf16 link-transfer exactness (default-precision DFT)")
+from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
+    MRIKneePreprocessor)
+
+pre_ = MRIKneePreprocessor(out_size=(64, 64), slice_keep=(0.0, 1.0))
+vol_pair = np.stack([k_pair] * 3)  # (3, 96, 96, 2)
+o32 = pre_.preprocess_volumes_pairs([vol_pair])[0]
+o16 = pre_.preprocess_volumes_pairs([vol_pair],
+                                    transfer_dtype="bfloat16")[0]
+bf16_exact = (np.array_equal(o32["tensor"], o16["tensor"])
+              and np.array_equal(o32["mask"], o16["mask"]))
+d = np.abs(o32["tensor"] - o16["tensor"]).max()
+assert d < 5e-2, f"bf16 link transfer deviates {d}"
+step(f"   bf16 link transfer: exact={bf16_exact}, max dev {d:.2e}  OK")
+
 # ---------------- 2. model surface ----------------
 step("2. fused vs naive decoder on TPU (bf16)")
 from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import ResNetEncoderUNet

@@ -149,6 +149,30 @@ def test_volume_chain_equals_slice_chain(fake_fastmri_root):
     np.testing.assert_array_equal(pack["mask"][3], one["mask"])
 
 
+def test_bf16_link_transfer_close_to_f32(fake_fastmri_root):
+    """transfer_dtype="bfloat16" halves corpus upload bytes. On CPU the
+    matmuls keep f32 operands, so the bf16-rounded input gives slightly
+    different magnitudes (bf16 has an 8-bit mantissa: ~0.4% relative on
+    inputs) — tolerance here; on the TPU at DEFAULT matmul precision the
+    DFT rounds its operands through bf16 regardless, so the paths are
+    bit-identical there (asserted in scripts/verify_tpu.py)."""
+    root, vols = fake_fastmri_root
+    pre = MRIKneePreprocessor(out_size=(48, 48), slice_keep=(0.0, 1.0))
+    pairs = [np.stack([k.real, k.imag], -1).astype(np.float32)
+             for k in vols.values()]
+    ref = pre.preprocess_volumes_pairs(pairs)
+    lo = pre.preprocess_volumes_pairs(pairs, transfer_dtype="bfloat16")
+    for r, l in zip(ref, lo):
+        # z-scored tensors: unit-scale, so atol is the meaningful bound
+        # (measured max CPU deviation 0.063 on the fixtures — pure input
+        # rounding, since CPU matmuls keep f32 operands)
+        np.testing.assert_allclose(r["tensor"], l["tensor"], atol=0.12)
+        agree = (r["mask"] == l["mask"]).mean()
+        assert agree > 0.995, f"mask agreement {agree}"
+    with pytest.raises(ValueError):
+        pre.preprocess_volumes_pairs(pairs, transfer_dtype="float16")
+
+
 # ---------------------------------------------------------------------------
 # Packer / artifact layout
 # ---------------------------------------------------------------------------
