@@ -102,7 +102,18 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
 
     TPU fast path: for FastMRISinglecoilAdapter the whole volume is read in
     one h5 pass and preprocessed in one vmapped device call.
+
+    The corpus loop is pipelined across volumes: the NEXT volume's h5 read
+    runs on a prefetch thread and each finished pack's artifact writes
+    (npz/pngs/json) run on a writer thread, so host I/O overlaps the
+    device round-trip instead of serializing with it. Artifacts are
+    byte-identical to the sequential loop (same per-volume calls, same
+    order) — only the schedule changes.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .prefetch import Prefetcher
+
     slice_keep = _parse_pair(args.slice_keep, "slice_keep")
     clip = _parse_pair(args.clip, "clip")
     preprocessor = MRIKneePreprocessor(
@@ -120,31 +131,47 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
         records = adapter.discover_records()
     if not records:
         return []
-    grouped = group_records_by_file(records)
+    grouped = list(group_records_by_file(records).items())
+
+    class _Loads:
+        """Indexable volume-load view for the prefetch thread."""
+
+        def __len__(self):
+            return len(grouped)
+
+        def __getitem__(self, i):
+            filepath, record_defs = grouped[i]
+            if isinstance(adapter, FastMRISinglecoilAdapter):
+                return filepath, adapter.load_volume(filepath)
+            return filepath, [adapter.load_record(r) for r in record_defs]
+
     summary = []
-    for filepath, record_defs in grouped.items():
-        if isinstance(adapter, FastMRISinglecoilAdapter):
-            vol = adapter.load_volume(filepath)
-            # record priority image -> target -> kspace (the reference
-            # preprocesses the reconstruction target when the h5 has one,
-            # mri_preprocess.py:267-296)
-            if vol["target"] is not None:
-                pack = preprocessor.preprocess_volume_images(
-                    vol["target"], vol["metas"], source="target")
+    writes = []
+    with ThreadPoolExecutor(max_workers=1) as writer:
+        for filepath, loaded in Prefetcher(_Loads(), depth=2, workers=1):
+            if isinstance(adapter, FastMRISinglecoilAdapter):
+                # record priority image -> target -> kspace (the reference
+                # preprocesses the reconstruction target when the h5 has
+                # one, mri_preprocess.py:267-296)
+                if loaded["target"] is not None:
+                    pack = preprocessor.preprocess_volume_images(
+                        loaded["target"], loaded["metas"], source="target")
+                else:
+                    pack = preprocessor.preprocess_volume_pairs(
+                        loaded["kspace_pair"], loaded["metas"])
             else:
-                pack = preprocessor.preprocess_volume_pairs(
-                    vol["kspace_pair"], vol["metas"])
-        else:
-            loaded = [adapter.load_record(rec) for rec in record_defs]
-            pack = preprocessor.preprocess_records(loaded)
-        out_dir = out_root / Path(filepath).stem
-        save_pack(str(out_dir), pack, preview_max=args.preview_max)
-        summary.append({
-            "filepath": filepath,
-            "output_dir": str(out_dir),
-            "npz_path": str(out_dir / "volume.npz"),
-            "num_slices": int(np.asarray(pack["tensor"]).shape[0]),
-        })
+                pack = preprocessor.preprocess_records(loaded)
+            out_dir = out_root / Path(filepath).stem
+            writes.append(writer.submit(save_pack, str(out_dir), pack,
+                                        preview_max=args.preview_max))
+            summary.append({
+                "filepath": filepath,
+                "output_dir": str(out_dir),
+                "npz_path": str(out_dir / "volume.npz"),
+                "num_slices": int(np.asarray(pack["tensor"]).shape[0]),
+            })
+        for w in writes:
+            w.result()  # surface writer errors; all artifacts durable
     return summary
 
 

@@ -107,6 +107,47 @@ def test_preprocess_record_matches_reference_chain(fake_fastmri_root, rng):
     np.testing.assert_allclose(out["img_01"], img_01, rtol=1e-3, atol=2e-3)
 
 
+def test_knee_pck_adapter_layouts(tmp_path, rng):
+    """C5: both vendored pickle layouts (dict-of-arrays and list-of-tuples)
+    plus the array-like-fallback heuristic, discovery across nested dirs,
+    and the unsupported-root error path."""
+    import pickle
+    from mri_acl_imagesegmentation_adsp_tpu.data.adapters import (
+        KneePckAdapter)
+
+    imgs = rng.integers(0, 255, (4, 20, 20)).astype(np.uint8)
+    labels = [0, 1, 2, 1]
+    (tmp_path / "sub").mkdir()
+    with open(tmp_path / "dictstyle.pck", "wb") as f:
+        pickle.dump({"data": imgs, "labels": labels}, f)
+    with open(tmp_path / "sub" / "liststyle.pickle", "wb") as f:
+        pickle.dump([(imgs[i], labels[i]) for i in range(2)], f)
+    with open(tmp_path / "fallback.pck", "wb") as f:  # no known keys
+        pickle.dump({"weird_name": imgs[:3]}, f)
+
+    ad = KneePckAdapter()
+    recs = ad.discover_records(str(tmp_path))
+    assert len(recs) == 4 + 2 + 3  # all three files, nested glob included
+
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(Path(r["pck_path"]).name, []).append(r)
+    r = ad.load_record(by_file["dictstyle.pck"][2])
+    np.testing.assert_array_equal(r["image"], imgs[2])
+    assert r["label"] == 2 and r["meta"]["dataset"] == "kaggle-knee"
+    r = ad.load_record(by_file["liststyle.pickle"][1])
+    np.testing.assert_array_equal(r["image"], imgs[1])
+    assert r["label"] == 1
+    r = ad.load_record(by_file["fallback.pck"][0])
+    np.testing.assert_array_equal(r["image"], imgs[0])
+    assert r["label"] is None
+
+    with open(tmp_path / "bad.pck", "wb") as f:
+        pickle.dump(42, f)
+    with pytest.raises(ValueError, match="Unsupported pickle root"):
+        ad.discover_records(str(tmp_path))
+
+
 def test_preprocess_input_priority(rng):
     pre = MRIKneePreprocessor(out_size=(32, 32))
     img = np.abs(rng.standard_normal((40, 40))).astype(np.float32)
