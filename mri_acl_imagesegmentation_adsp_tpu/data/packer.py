@@ -146,9 +146,14 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
             return filepath, [adapter.load_record(r) for r in record_defs]
 
     summary = []
-    writes = []
+    writes: List = []
     with ThreadPoolExecutor(max_workers=1) as writer:
         for filepath, loaded in Prefetcher(_Loads(), depth=2, workers=1):
+            if len(writes) >= 2:
+                # backpressure: at most 2 packs in flight (a pack is tens
+                # of MB); also surfaces write errors (disk full) early
+                # instead of after the whole corpus is preprocessed
+                writes.pop(0).result()
             if isinstance(adapter, FastMRISinglecoilAdapter):
                 # record priority image -> target -> kspace (the reference
                 # preprocesses the reconstruction target when the h5 has

@@ -40,12 +40,16 @@
 #include <cstdlib>
 
 #include <atomic>
+#include <map>
+#include <memory>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
 #include <dlfcn.h>
 #include <fcntl.h>
+#include <sys/stat.h>
 #include <unistd.h>
 #include <zlib.h>
 
@@ -258,6 +262,49 @@ int read_meta(const char *path, const char *dset_name, bool want_chunks,
     rec.addr = addr;
     rec.size = size;
   }
+  return 0;
+}
+
+// Training reads the same file hundreds of times (one example per slice);
+// without a cache every call re-walks the whole chunk B-tree under the
+// global mutex, serializing prefetch threads on exactly the lock the
+// native path exists to avoid. Entries are validated by (mtime_ns, size).
+struct MetaCacheEntry {
+  std::shared_ptr<const DsetMeta> meta;
+  int64_t mtime_ns = 0;
+  int64_t size = 0;
+  bool has_chunks = false;
+};
+
+std::mutex g_cache_mutex;
+std::map<std::string, MetaCacheEntry> g_meta_cache;
+constexpr size_t kMetaCacheCap = 4096;
+
+int get_meta_cached(const char *path, const char *dset, bool want_chunks,
+                    std::shared_ptr<const DsetMeta> *out) {
+  struct stat st;
+  if (stat(path, &st) != 0) return -4;
+  int64_t mt = (int64_t)st.st_mtim.tv_sec * 1000000000 + st.st_mtim.tv_nsec;
+  std::string key = std::string(path) + '\x1f' + dset;
+  {
+    std::lock_guard<std::mutex> guard(g_cache_mutex);
+    auto it = g_meta_cache.find(key);
+    if (it != g_meta_cache.end() && it->second.mtime_ns == mt &&
+        it->second.size == (int64_t)st.st_size &&
+        (it->second.has_chunks || !want_chunks)) {
+      *out = it->second.meta;
+      return 0;
+    }
+  }
+  auto fresh = std::make_shared<DsetMeta>();
+  int rc = read_meta(path, dset, want_chunks, fresh.get());
+  if (rc != 0) return rc;
+  {
+    std::lock_guard<std::mutex> guard(g_cache_mutex);
+    if (g_meta_cache.size() >= kMetaCacheCap) g_meta_cache.clear();
+    g_meta_cache[key] = {fresh, mt, (int64_t)st.st_size, want_chunks};
+  }
+  *out = std::move(fresh);
   return 0;
 }
 
@@ -493,12 +540,12 @@ int h5n_init(const char *libpath) {
 int h5n_probe(const char *path, const char *dset, int64_t *shape8,
               int32_t *itemsize) {
   if (!g_api_ready) return -9;
-  DsetMeta m;
-  int rc = read_meta(path, dset, /*want_chunks=*/false, &m);
+  std::shared_ptr<const DsetMeta> m;
+  int rc = get_meta_cached(path, dset, /*want_chunks=*/false, &m);
   if (rc != 0) return rc;
-  for (int i = 0; i < m.ndim; ++i) shape8[i] = (int64_t)m.shape[i];
-  *itemsize = (int32_t)m.itemsize;
-  return m.ndim;
+  for (int i = 0; i < m->ndim; ++i) shape8[i] = (int64_t)m->shape[i];
+  *itemsize = (int32_t)m->itemsize;
+  return m->ndim;
 }
 
 // Read dataset[..., indices, ...] (the `indices` list selecting along
@@ -516,12 +563,13 @@ int h5n_read_slab(const char *path, const char *dset, const int64_t *indices,
     return ts.tv_sec + 1e-9 * ts.tv_nsec;
   };
   double t0 = dbg ? now() : 0.0;
-  DsetMeta m;
-  int rc = read_meta(path, dset, /*want_chunks=*/true, &m);
+  std::shared_ptr<const DsetMeta> mp;
+  int rc = get_meta_cached(path, dset, /*want_chunks=*/true, &mp);
+  if (rc != 0) return rc;
+  const DsetMeta &m = *mp;
   if (dbg)
     fprintf(stderr, "[h5n] meta %.1f ms (%zu chunks)\n", (now() - t0) * 1e3,
             m.chunks.size());
-  if (rc != 0) return rc;
   if (axis < 0 || axis >= m.ndim) return -2;
 
   int64_t expect = m.itemsize;

@@ -41,8 +41,13 @@ _lock = threading.Lock()
 
 
 def _candidate_hdf5_libs():
-    """libhdf5 .so candidates, system serial build first (its global state
-    is independent of h5py's bundled copy; both export the stable C API)."""
+    """System libhdf5 .so candidates ONLY. h5py's bundled copy is
+    deliberately NOT a candidate: dlopen of a path the process already
+    loaded returns the SAME library instance (RTLD_LOCAL hides symbols,
+    it does not duplicate global state), so our C++ threads would share
+    one non-thread-safe serial HDF5 with h5py's own calls — h5py's lock
+    and our mutex would each protect only half the callers. A host
+    without a system libhdf5 simply runs the h5py fallback path."""
     pats = [
         "/lib/x86_64-linux-gnu/libhdf5_serial.so*",
         "/usr/lib/x86_64-linux-gnu/libhdf5_serial.so*",
@@ -52,13 +57,6 @@ def _candidate_hdf5_libs():
     out = []
     for p in pats:
         out.extend(sorted(glob.glob(p)))
-    try:
-        import h5py
-        bundled = os.path.join(os.path.dirname(h5py.__file__), os.pardir,
-                               "h5py.libs", "libhdf5-*.so*")
-        out.extend(sorted(glob.glob(bundled)))
-    except Exception:
-        pass
     return out
 
 
@@ -85,28 +83,59 @@ def _get_lib():
         if so is None:
             _lib = "unavailable"
             return None
-        lib = ctypes.CDLL(so)
-        lib.h5n_init.restype = ctypes.c_int
-        lib.h5n_init.argtypes = [ctypes.c_char_p]
-        lib.h5n_probe.restype = ctypes.c_int
-        lib.h5n_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
-        lib.h5n_read_slab.restype = ctypes.c_int
-        lib.h5n_read_slab.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
-        for cand in _candidate_hdf5_libs():
-            if lib.h5n_init(cand.encode()) == 0:
-                _lib = lib
-                return lib
+        try:
+            # guarded: a prebuilt .so from a different host (arch/glibc)
+            # must degrade to the h5py fallback, not crash every consumer
+            lib = ctypes.CDLL(so)
+            lib.h5n_init.restype = ctypes.c_int
+            lib.h5n_init.argtypes = [ctypes.c_char_p]
+            lib.h5n_probe.restype = ctypes.c_int
+            lib.h5n_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.h5n_read_slab.restype = ctypes.c_int
+            lib.h5n_read_slab.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+            for cand in _candidate_hdf5_libs():
+                if lib.h5n_init(cand.encode()) == 0:
+                    _lib = lib
+                    return lib
+        except OSError:
+            pass
         _lib = "unavailable"
         return None
 
 
 def native_h5_available() -> bool:
     return _get_lib() is not None
+
+
+# (path, dset) -> (mtime_ns, size, dtype, shape): avoids re-opening the
+# file with h5py for type metadata on every per-slice read (the native
+# side keeps its own chunk-table cache keyed the same way)
+_meta_cache: dict = {}
+
+
+def _dtype_shape(path: str, dset: str):
+    st = os.stat(path)
+    key = (path, dset)
+    hit = _meta_cache.get(key)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2], hit[3]
+    import h5py
+    with h5py.File(path, "r") as hf:
+        node = hf.get(dset)
+        if node is None or not hasattr(node, "dtype"):
+            return None, None
+        dtype, shape = node.dtype, node.shape
+    if len(_meta_cache) > 4096:
+        _meta_cache.clear()
+    _meta_cache[key] = (st.st_mtime_ns, st.st_size, dtype, shape)
+    return dtype, shape
 
 
 def read_h5_slab(path: str, dset: str, indices: Sequence[int],
@@ -128,13 +157,10 @@ def read_h5_slab(path: str, dset: str, indices: Sequence[int],
     if idx.size == 0 or len(set(idx.tolist())) != idx.size:
         return None
     try:
-        import h5py
-        with h5py.File(path, "r") as hf:
-            node = hf.get(dset)
-            if node is None or not hasattr(node, "dtype"):
-                return None
-            dtype, shape = node.dtype, node.shape
+        dtype, shape = _dtype_shape(path, dset)
     except Exception:
+        return None
+    if dtype is None:
         return None
     if axis < 0:
         axis += len(shape)
@@ -173,11 +199,10 @@ def load_h5_slab(path: str, dset: str, indices: Sequence[int],
         data = hf[dset]
         sel = [slice(None)] * data.ndim
         ax = axis if axis >= 0 else axis + data.ndim
-        idx = list(indices)
-        # h5py fancy selection wants increasing order; gather then reorder
-        order = np.argsort(idx)
-        sel[ax] = np.asarray(idx)[order]
+        # h5py fancy selection wants strictly increasing, duplicate-free
+        # indices; read the unique set and gather back into request order
+        uniq, inv = np.unique(np.asarray(list(indices), np.int64),
+                              return_inverse=True)
+        sel[ax] = uniq
         arr = data[tuple(sel)]
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(idx))
         return np.take(arr, inv, axis=ax)

@@ -67,7 +67,12 @@ def _get_lib():
         if so is None:
             _lib = "unavailable"
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # prebuilt .so from a different host (arch/glibc) -> NumPy path
+            _lib = "unavailable"
+            return None
         lib.npz_probe.restype = ctypes.c_int
         lib.npz_probe.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,

@@ -83,8 +83,12 @@ o16 = pre_.preprocess_volumes_pairs([vol_pair],
 bf16_exact = (np.array_equal(o32["tensor"], o16["tensor"])
               and np.array_equal(o32["mask"], o16["mask"]))
 d = np.abs(o32["tensor"] - o16["tensor"]).max()
-assert d < 5e-2, f"bf16 link transfer deviates {d}"
-step(f"   bf16 link transfer: exact={bf16_exact}, max dev {d:.2e}  OK")
+# The docstring guarantee is bit-exactness on TPU (default-precision DFT
+# already rounds operands through bf16; RNE pre-round is idempotent). If
+# this ever fails on a new TPU generation, soften the preprocess.py and
+# test_pipeline.py claims rather than loosening this gate silently.
+assert bf16_exact, f"bf16 link transfer NOT exact on TPU: max dev {d:.2e}"
+step(f"   bf16 link transfer exact on TPU (max dev {d:.2e})  OK")
 
 # ---------------- 2. model surface ----------------
 step("2. fused vs naive decoder on TPU (bf16)")

@@ -92,6 +92,27 @@ def test_load_h5_slab_negative_axis(fixture_file):
     np.testing.assert_array_equal(got, data["contig"][0][:, [7, 2]])
 
 
+def test_load_h5_slab_duplicate_indices(fixture_file):
+    """Duplicates route to the h5py fallback, which must gather them
+    (h5py itself rejects non-unique fancy selections)."""
+    p, data = fixture_file
+    got = load_h5_slab(str(p), "contig", [3, 3, 1], axis=0)
+    np.testing.assert_array_equal(got, data["contig"][0][[3, 3, 1]])
+
+
+def test_meta_cache_invalidates_on_rewrite(tmp_path):
+    """Both metadata caches (Python dtype/shape, C++ chunk table) key on
+    (mtime_ns, size); rewriting the file must serve the NEW bytes."""
+    p = tmp_path / "rw.h5"
+    for round_ in range(2):
+        arr = np.full((3, 8), float(round_), np.float32)
+        with h5py.File(p, "w") as f:
+            f.create_dataset("d", data=arr, chunks=(2, 8),
+                             compression="gzip")
+        got = load_h5_slab(str(p), "d", [1], axis=0)
+        np.testing.assert_array_equal(got, arr[[1]])
+
+
 def test_prefetcher_order_and_len():
     from mri_acl_imagesegmentation_adsp_tpu.data.prefetch import (
         Prefetcher, prefetch)
