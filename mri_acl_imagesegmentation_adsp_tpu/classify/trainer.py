@@ -138,8 +138,9 @@ class ClassifierTrainer:
 
     # ------------------------------------------------------------------
 
-    def _epoch_pass(self, train: bool):
-        ds = self.train_ds if train else self.val_ds
+    def _epoch_pass(self, train: bool, ds=None):
+        if ds is None:
+            ds = self.train_ds if train else self.val_ds
         total_loss, nb = 0.0, 0
         outs, labels = [], []
         for x, y in ds.batches(self.args.batch_size, shuffle=train,
@@ -194,3 +195,17 @@ class ClassifierTrainer:
         if self.params is not None:
             ckpt_lib.save_best(self.best_path, self.params, {},
                                asdict(self.args))
+
+    def evaluate(self, ds, ckpt_path: Optional[str] = None
+                 ) -> Dict[str, float]:
+        """Loss/AUC of a (saved) model on ``ds`` — the vendored test.py
+        flow: load the checkpoint, run the eval pass on the test split."""
+        if len(ds) == 0:
+            return {"loss": float("nan"), "auc": float("nan"), "n": 0}
+        for x, _ in ds.batches(self.args.batch_size, shuffle=False):
+            self._init_if_needed(jnp.asarray(np.moveaxis(x, 1, -1)))
+            break
+        if ckpt_path:
+            self.params, _ = ckpt_lib.load_best(ckpt_path, self.params, {})
+        loss, auc = self._epoch_pass(train=False, ds=ds)
+        return {"loss": loss, "auc": auc, "n": len(ds)}

@@ -92,7 +92,7 @@ def classification_data(tmp_path, rng):
     import pandas as pd
     rows = []
     (tmp_path / "data").mkdir()
-    for i in range(6):
+    for i in range(8):
         fname = f"case{i}.h5"
         with h5py.File(tmp_path / "data" / fname, "w") as hf:
             hf.create_dataset("reconstruction_rss",
@@ -104,9 +104,11 @@ def classification_data(tmp_path, rng):
             hf.create_dataset("adc_map",
                               data=np.abs(rng.standard_normal((4, 100, 100))
                                           ).astype(np.float32) * 2000)
+        split = ("training" if i < 4
+                 else "validation" if i < 6 else "test")
         rows.append({"fastmri_pt_id": i, "fastmri_rawfile": fname,
                      "folder": ".", "PIRADS": 4 if i % 2 else 1, "slice": 2,
-                     "data_split": "training" if i < 4 else "validation"})
+                     "data_split": split})
     sheet = tmp_path / "sheet.csv"
     pd.DataFrame(rows).to_csv(sheet, index=False)
     return str(sheet), str(tmp_path / "data")
@@ -130,6 +132,48 @@ def test_dwi_dataset_contract(classification_data):
     assert len(ds) == 2
     x, y = ds[0]
     assert x.shape == (2, 224, 224)
+
+
+def test_train_classify_cli_yaml_and_evaluate(classification_data, tmp_path,
+                                              capsys):
+    """CLI parity surface (vendored train_t2.py/test.py): YAML config in,
+    rundir = results_fol/<rundir>_SEED_<seed> with params.txt copied in,
+    training runs, the best ckpt is test-evaluated, and --evaluate reloads
+    it standalone."""
+    import json
+    import yaml
+    from mri_acl_imagesegmentation_adsp_tpu.cli.train_classify import main
+
+    sheet, root = classification_data
+    cfg = {
+        "model_args": {"patience": 3, "rundir": "t2cli",
+                       "optimizer": "adam", "scheduler": "multistep",
+                       "gamma": 0.5, "lr_decay_steps": [1],
+                       "lr": 1e-4, "weight_decay": 1e-4},
+        "data": {"datasheet": sheet, "data_location": root, "norm_type": 2},
+        "training": {"augment": False, "max_epochs": 2},
+        "results_fol": str(tmp_path / "results"),
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    assert main(["--mode", "t2", "--config-file", str(cfg_path),
+                 "--index-seed", "0", "--batch-size", "2",
+                 "--no-amp"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    run_dir = os.path.dirname(out["best_ckpt"])
+    assert os.path.basename(run_dir).startswith("t2cli_SEED_")
+    assert os.path.exists(os.path.join(run_dir, "params.txt"))
+    assert os.path.exists(os.path.join(run_dir, "test_metrics.json"))
+    assert out["test"]["n"] == 2 and np.isfinite(out["test"]["loss"])
+
+    # vendored test.py flow: standalone evaluation of the saved checkpoint
+    assert main(["--mode", "t2", "--datasheet", sheet, "--data-path", root,
+                 "--batch-size", "2", "--no-amp", "--no-augment",
+                 "--evaluate", out["best_ckpt"]]) == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["split"] == "test"
+    assert abs(ev["loss"] - out["test"]["loss"]) < 1e-5
 
 
 def test_classifier_trainer_smoke(classification_data, tmp_path):
