@@ -165,6 +165,52 @@ def test_t2_reconstruction_shapes_and_quality(rng):
     assert np.isfinite(rec).all()
 
 
+def test_recon_cli_end_to_end_t2(tmp_path, rng):
+    """cli.recon walks {data_path}/{split}/T2, reconstructs each case from
+    the raw h5 (kspace + calibration + ISMRMRD header) and saves the result
+    h5 — the vendored fastmri_prostate_recon.py flow at toy scale."""
+    import h5py
+    from mri_acl_imagesegmentation_adsp_tpu.cli.recon import main
+
+    hdr = """<?xml version="1.0"?>
+<ismrmrdHeader xmlns="http://www.ismrm.org/ISMRMRD">
+  <encoding>
+    <encodedSpace><matrixSize><x>64</x><y>40</y><z>1</z></matrixSize></encodedSpace>
+    <reconSpace><matrixSize><x>64</x><y>64</y><z>1</z></matrixSize></reconSpace>
+    <encodingLimits><kspace_encoding_step_1>
+      <minimum>0</minimum><maximum>39</maximum><center>20</center>
+    </kspace_encoding_step_1></encodingLimits>
+  </encoding>
+</ismrmrdHeader>"""
+    h, w, nc = 48, 40, 4
+    _, ksp = _multicoil_phantom(rng, h, w, nc)
+    full = np.moveaxis(ksp, -1, 0)                     # (C, ro, pe)
+    under = full.copy()
+    under[:, :, 1::2] = 0
+    under[:, :, w // 2 - 6: w // 2 + 6] = full[:, :, w // 2 - 6: w // 2 + 6]
+    kspace_data = np.stack([under] * 3)[:, None].astype(np.complex64)
+    calib = full[:, :, w // 2 - 8: w // 2 + 8][None].astype(np.complex64)
+
+    case_dir = tmp_path / "training" / "T2"
+    case_dir.mkdir(parents=True)
+    with h5py.File(case_dir / "case0.h5", "w") as hf:
+        hf.create_dataset("kspace", data=kspace_data)
+        hf.create_dataset("calibration_data", data=calib)
+        hf.create_dataset("ismrmrd_header", data=hdr.encode())
+        hf.create_dataset("reconstruction_rss",
+                          data=np.zeros((1, h, w), np.float32))
+        hf.attrs["max"] = 1.0
+    (case_dir / "notes.txt").write_text("skipped: not an h5")
+
+    out_dir = tmp_path / "recons"
+    assert main(["--data-path", str(tmp_path), "--output-path", str(out_dir),
+                 "--sequence", "t2", "--split", "training"]) == 0
+    with h5py.File(out_dir / "case0.h5", "r") as hf:
+        rec = hf["reconstruction_rss"][:]
+    assert rec.shape[0] == 1 and np.isfinite(rec).all()
+    assert rec.std() > 0  # a real image, not zeros
+
+
 # ---------------------------------------------------------------------------
 # DWI pieces
 # ---------------------------------------------------------------------------
