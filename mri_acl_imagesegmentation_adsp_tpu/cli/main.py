@@ -74,8 +74,8 @@ def parse_args_preprocess(argv: Optional[Sequence[str]] = None):
     return ap.parse_args(argv)
 
 
-def main() -> None:
-    adapter_args, remaining = parse_args_adapter()
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    adapter_args, remaining = parse_args_adapter(argv)
     dataset, adapter = build_adapter(adapter_args.dataset, adapter_args)
     preview(dataset, n=3)
     preprocess_args = parse_args_preprocess(remaining)

@@ -107,6 +107,29 @@ def test_preprocess_record_matches_reference_chain(fake_fastmri_root, rng):
     np.testing.assert_allclose(out["img_01"], img_01, rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_adapter_demo_cli_end_to_end(fake_fastmri_root, tmp_path, capsys):
+    """cli.main (C22): preview the adapter records, then chain into the
+    preprocess driver when preprocess flags follow (reference src/main.py
+    flow) — artifacts land on disk."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.main import main
+
+    root, vols = fake_fastmri_root
+    out_dir = tmp_path / "artifacts"
+    main(["--dataset", "fastmri", "--root", str(root),
+          "--root_dir", str(root), "--out_dir", str(out_dir),
+          "--height", "48", "--width", "48", "--slice_keep", "0.0,1.0"])
+    printed = capsys.readouterr().out
+    assert "Dataset size: 24" in printed          # 3 vols x 8 slices
+    assert "Preprocess finished for 3 volume(s)" in printed
+    for i in range(3):
+        assert (out_dir / f"file{i:03d}" / "volume.npz").exists()
+
+    # preview-only mode: no preprocess flags -> no artifacts
+    main(["--dataset", "fastmri", "--root", str(root)])
+    assert "Dataset size: 24" in capsys.readouterr().out
+
+
 def test_knee_pck_adapter_layouts(tmp_path, rng):
     """C5: both vendored pickle layouts (dict-of-arrays and list-of-tuples)
     plus the array-like-fallback heuristic, discovery across nested dirs,
