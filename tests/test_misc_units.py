@@ -1,6 +1,7 @@
 """Coverage for registry, volume-affine shards, classifier schedulers,
 recon evaluate CLI, and the ISMRMRD SliceDataset."""
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -33,6 +34,40 @@ def test_registry_builds_model_from_yaml(tmp_path):
     shipped = Path("mri_acl_imagesegmentation_adsp_tpu/configs/knee_acl.yaml")
     flagship = build_from_yaml(str(shipped), "model")
     assert flagship.encoder == "resnet34"
+
+
+def test_load_env_parser(tmp_path, monkeypatch):
+    """C1: minimal .env parser — KEY=VALUE lines, comments/blank lines
+    skipped, quotes stripped, no-override-by-default, explicit path wins
+    over the CWD-parent search."""
+    from mri_acl_imagesegmentation_adsp_tpu.configs.config import load_env
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# dataset roots\n"
+        "FASTMRI_ROOT=/data/fastmri\n"
+        'KNEE_MRI_ROOT="/data/knee with spaces"\n'
+        "  OAI_ZIB_ROOT = '/data/oai'  \n"
+        "\n"
+        "not a kv line\n")
+    monkeypatch.delenv("FASTMRI_ROOT", raising=False)
+    monkeypatch.setenv("KNEE_MRI_ROOT", "/existing")  # not overridden
+    loaded = load_env(str(env))
+    assert loaded["FASTMRI_ROOT"] == "/data/fastmri"
+    assert os.environ["FASTMRI_ROOT"] == "/data/fastmri"
+    assert os.environ["KNEE_MRI_ROOT"] == "/existing"
+    assert loaded["OAI_ZIB_ROOT"] == "/data/oai"
+    assert "not a kv line" not in loaded
+
+    load_env(str(env), override=True)
+    assert os.environ["KNEE_MRI_ROOT"] == "/data/knee with spaces"
+
+    # CWD-parent search (python-dotenv default, reference config.py:8-26)
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    monkeypatch.chdir(sub)
+    monkeypatch.delenv("FASTMRI_ROOT", raising=False)
+    assert load_env()["FASTMRI_ROOT"] == "/data/fastmri"
 
 
 def test_volume_affine_shards_contract():
