@@ -31,7 +31,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "model", "encoder", "encoder_weights", "aug", "imagenet_norm", "k",
     "classes", "logger", "save_val_probs", "max_grad_norm", "amp", "seed",
     "data_parallel", "store_dtype", "resume", "save_resume_every",
-    "profile_epochs", "store_sharded",
+    "profile_epochs", "store_sharded", "remat",
 )
 
 
@@ -209,6 +209,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--profile-epochs", type=int, default=0,
                      help="Capture a jax.profiler trace for the first N "
                           "epochs into <out-dir>/profile.")
+    tpu.add_argument("--remat", action="store_true",
+                     help="Rematerialize U-Net blocks in the backward pass "
+                          "(trades recompute for saved-activation HBM "
+                          "traffic; numerics-equal, see models/unet2d.py).")
     return parser
 
 

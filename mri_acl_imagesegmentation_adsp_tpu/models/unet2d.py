@@ -108,11 +108,29 @@ class ResNetEncoder(nn.Module):
     """
     name_: str = "resnet34"
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each residual block in the backward pass (jax.checkpoint
+    # via nn.remat): the b8 train step is HBM-traffic-bound, not FLOP-bound
+    # (trace: ~7 ms elementwise fusions vs 1.5 ms convs of 11.1 ms), so
+    # trading saved-activation reads for recompute is a throughput lever,
+    # not just a memory one. Off by default pending on-chip measurement.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         blocks, bottleneck = _RESNET_CFG[self.name_]
-        block_cls = _Bottleneck if bottleneck else _BasicBlock
+        naive_cls = _Bottleneck if bottleneck else _BasicBlock
+        # explicit names keep remat-wrapped blocks at the naive module paths
+        # (remat would otherwise prefix "Checkpoint_" and break checkpoints)
+        block_cls = (nn.remat(naive_cls, static_argnums=(2,)) if self.remat
+                     else naive_cls)
+        blk_idx = {"i": 0}
+
+        def block(width, stride):
+            m = block_cls(width, stride=stride, dtype=self.dtype,
+                          name=f"{naive_cls.__name__}_{blk_idx['i']}")
+            blk_idx["i"] += 1
+            return m
+
         feats = [x]
 
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -127,7 +145,7 @@ class ResNetEncoder(nn.Module):
         for stage, (n_blocks, width) in enumerate(zip(blocks, (64, 128, 256, 512))):
             for b in range(n_blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                y = block_cls(width, stride=stride, dtype=self.dtype)(y, train)
+                y = block(width, stride)(y, train)
             feats.append(y)                                # /4 /8 /16 /32
         return feats
 
@@ -291,11 +309,14 @@ class ResNetEncoderUNet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: jnp.dtype = jnp.float32
     fused_decoder: bool = True
+    # per-block backward rematerialization (see ResNetEncoder.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        feats = ResNetEncoder(self.encoder, dtype=self.dtype)(x, train)
+        feats = ResNetEncoder(self.encoder, dtype=self.dtype,
+                              remat=self.remat)(x, train)
         # skips (deepest first, excluding the bottleneck f5): f4,f3,f2,f1,None
         skips = [feats[4], feats[3], feats[2], feats[1], None]
         y = feats[5]
@@ -309,10 +330,12 @@ class ResNetEncoderUNet(nn.Module):
         # so the head falls back to the plain conv.
         n_blocks = min(len(self.decoder_channels), len(skips))
         phase_tail = self.fused_decoder and skips[n_blocks - 1] is None
-        for ch, skip in zip(self.decoder_channels, skips):
-            y = _DecoderBlock(ch, dtype=self.dtype, fused=self.fused_decoder,
-                              phase_out=(phase_tail and skip is None)
-                              )(y, skip, train)
+        dec_cls = (nn.remat(_DecoderBlock, static_argnums=(3,)) if self.remat
+                   else _DecoderBlock)
+        for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
+            y = dec_cls(ch, dtype=self.dtype, fused=self.fused_decoder,
+                        phase_out=(phase_tail and skip is None),
+                        name=f"_DecoderBlock_{i}")(y, skip, train)
         if phase_tail:
             from .phaseconv import dense_embedded_kernel, depth_to_space
             kh, bh = _ConvKernel(self.classes, self.decoder_channels[-1],

@@ -86,6 +86,7 @@ class UNet2DArgs:
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
     store_sharded: bool = False              # shard slice store over the mesh
     multihost: bool = False                  # jax.distributed multi-host (DCN)
+    remat: bool = False                      # per-block backward remat (unet)
 
 
 class UNet2DTrainer:
@@ -185,9 +186,11 @@ class UNet2DTrainer:
         from ..models import build_unet
         a = self.args
         dtype = jnp.bfloat16 if a.amp else jnp.float32
+        extra = {"remat": True} if (a.remat and a.model.lower() == "unet") \
+            else {}
         self.model = build_unet(a.model, a.encoder, a.encoder_weights,
                                 in_ch=self._determine_in_channels(),
-                                classes=a.classes, dtype=dtype)
+                                classes=a.classes, dtype=dtype, **extra)
         self.loss_obj = LossManager(classes=a.classes, name=a.loss)
         self.tx = make_optimizer(a.lr, a.weight_decay, a.max_grad_norm)
         self.engine = Engine(self.model, self.loss_obj, self.tx,

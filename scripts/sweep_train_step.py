@@ -52,10 +52,11 @@ def make_store():
                       files=["bench"]).to_device(k=1)
 
 
-def measure(engine, store, reps=4):
+def measure(engine, store, reps=4, batch=None):
+    batch = BATCH if batch is None else batch
     state = engine.init_state(jax.random.PRNGKey(0),
                               jnp.zeros((1, H, W, 1), jnp.float32))
-    perm = epoch_permutation(jax.random.PRNGKey(1), N, BATCH)
+    perm = epoch_permutation(jax.random.PRNGKey(1), N, batch)
     steps = perm.shape[0]
     state, _, _ = engine.train_one_epoch(state, store, perm,
                                          jax.random.PRNGKey(2), dataset_len=N)
@@ -68,7 +69,7 @@ def measure(engine, store, reps=4):
     engine.check_epoch_losses(np.stack([np.asarray(l) for l in all_losses]),
                               state)
     dt = time.perf_counter() - t0
-    return reps * steps * BATCH / dt, dt / (reps * steps) * 1e3
+    return reps * steps * batch / dt, dt / (reps * steps) * 1e3
 
 
 def main():
@@ -87,6 +88,17 @@ def main():
                               classes=1, aug="light", scan_unroll=4)
     cases["aug_none"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
                                classes=1, aug="none")
+    # per-block backward remat: the b8 step is HBM-traffic-bound (~7 ms
+    # elementwise fusions vs 1.5 ms convs of 11.1) — trade saved-activation
+    # reads for recompute (models/unet2d.py remat flag; equality pinned in
+    # tests/test_models.py::test_unet2d_remat_matches_naive_exactly)
+    model_rmt = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
+                           dtype=jnp.bfloat16, remat=True)
+    cases["remat"] = Engine(model_rmt, loss, make_optimizer(1e-3, 1e-4, 5.0),
+                            classes=1, aug="light")
+    cases["remat_unroll2"] = Engine(model_rmt, loss,
+                                    make_optimizer(1e-3, 1e-4, 5.0),
+                                    classes=1, aug="light", scan_unroll=2)
     cases["no_clip"] = Engine(model, loss, make_optimizer(1e-3, 1e-4, 0.0),
                               classes=1, aug="light")
     sgd = optax.inject_hyperparams(
@@ -103,14 +115,21 @@ def main():
                                  classes=1, aug="light")
 
     results = {}
-    for name in ("flips_only", "base", "unroll2", "unroll4", "aug_none",
-                 "no_clip",
+    for name in ("flips_only", "base", "unroll2", "unroll4", "remat",
+                 "remat_unroll2", "aug_none", "no_clip",
                  "sgd"):
         if name != "flips_only":
             aug_mod._warp_batch_separable = orig
         rate, ms = measure(cases[name], store)
         results[name] = (round(rate, 1), round(ms, 2))
         print(f"{name}: {rate:.1f} slices/s ({ms:.2f} ms/step)", flush=True)
+
+    # tuned-batch pass: attribute the same levers at the b32 sweet spot
+    for name in ("base", "unroll2", "remat", "remat_unroll2"):
+        rate, ms = measure(cases[name], store, batch=32)
+        results[name + "_b32"] = (round(rate, 1), round(ms, 2))
+        print(f"{name}_b32: {rate:.1f} slices/s ({ms:.2f} ms/step)",
+              flush=True)
 
     print(results)
 

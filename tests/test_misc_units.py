@@ -204,3 +204,20 @@ def test_t2_padding_parse():
     from mri_acl_imagesegmentation_adsp_tpu.recon.t2 import get_padding
     # (encoded x=64 - (max 39 + 1)) / 2 = 12
     assert get_padding(ISMRMRD_HDR) == 12.0
+
+
+def test_launcher_forwarded_fields_contract():
+    """Every launcher-forwarded field exists both as a parser dest and as a
+    UNet2DArgs field (catches drift when either side gains a flag)."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.launcher import (
+        _FORWARDED_TRAIN_FIELDS, build_parser)
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import UNet2DArgs
+    import dataclasses
+
+    dests = {a.dest for a in build_parser()._actions}
+    arg_fields = {f.name for f in dataclasses.fields(UNet2DArgs)}
+    for name in _FORWARDED_TRAIN_FIELDS:
+        assert name in dests, f"launcher has no --{name.replace('_','-')}"
+        assert name in arg_fields, f"UNet2DArgs has no field {name}"
+    # the TPU remat lever is part of the forwarded surface
+    assert "remat" in _FORWARDED_TRAIN_FIELDS

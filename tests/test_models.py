@@ -430,3 +430,54 @@ def test_fastmri_unet_phase_odd_dims_fall_back():
     y = m.apply(v, x)
     assert y.shape == (1, 20, 18, 2)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_unet2d_remat_matches_naive_exactly():
+    """remat=True (per-block jax.checkpoint, a backward-pass HBM-traffic
+    lever on the b8 train step) is numerics- and checkpoint-transparent:
+    identical parameter tree/names, bit-equal forward and batch_stats;
+    grads equal up to fp reassociation (XLA fuses the recomputed forward
+    differently inside the backward), same tolerance as the fused-decoder
+    equality test above."""
+    from mri_acl_imagesegmentation_adsp_tpu.models.unet2d import (
+        ResNetEncoderUNet)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    base = ResNetEncoderUNet("resnet18", classes=1, remat=False)
+    rmt = ResNetEncoderUNet("resnet18", classes=1, remat=True)
+    v_b = base.init(jax.random.PRNGKey(0), x, train=False)
+    v_r = rmt.init(jax.random.PRNGKey(0), x, train=False)
+
+    keys_b = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_b)]
+    keys_r = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(v_r)]
+    assert keys_b == keys_r, "remat changed the variable tree"
+
+    y_b = base.apply(v_b, x, train=False)
+    y_r = rmt.apply(v_b, x, train=False)
+    assert np.array_equal(np.asarray(y_b), np.asarray(y_r))
+
+    o_b, s_b = base.apply(v_b, x, train=True, mutable=["batch_stats"])
+    o_r, s_r = rmt.apply(v_b, x, train=True, mutable=["batch_stats"])
+    assert np.array_equal(np.asarray(o_b), np.asarray(o_r))
+    for a, b in zip(jax.tree.leaves(s_b), jax.tree.leaves(s_r)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(p, model):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": v_b["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_b = jax.jit(jax.grad(loss), static_argnums=1)(v_b["params"], base)
+    g_r = jax.jit(jax.grad(loss), static_argnums=1)(v_b["params"], rmt)
+    # per-leaf relative L2: recompute-vs-saved reassociation through ~20
+    # BN'd conv layers lands around 1e-5..1e-3 depending on the XLA CPU
+    # config (virtual-device count / cached AOT programs); a direction
+    # change would be O(1)
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_r)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        assert rel < 5e-3, rel

@@ -148,3 +148,13 @@ def test_train_heavy_aug_25d_end_to_end(artifact_lists):
     assert hist[-1]["val_dice"] > 0.3  # learning despite strong distortion
     out = Path(args.out_dir)
     assert json.loads((out / "args.json").read_text())["aug"] == "heavy"
+
+
+def test_remat_flag_reaches_model(artifact_lists):
+    """--remat plumbs UNet2DArgs.remat -> build_unet(remat=True) (the
+    numerics equality itself is pinned in test_models)."""
+    tmp, train, val = artifact_lists
+    t = UNet2DTrainer(_args(tmp, train, val, "run_remat", remat=True))
+    assert t.model.remat is True
+    t2 = UNet2DTrainer(_args(tmp, train, val, "run_noremat"))
+    assert t2.model.remat is False
