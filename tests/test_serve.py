@@ -1,0 +1,190 @@
+"""In-process tests of the serving daemon (cli/serve.py)."""
+import io
+import json
+import threading
+import urllib.request
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+from mri_acl_imagesegmentation_adsp_tpu.train import checkpoint as ckpt_lib
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A live server on an ephemeral port backed by a tiny random-init
+    checkpoint, plus the bound apply_fn for oracle comparison."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+
+    tmp = tmp_path_factory.mktemp("serve")
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 1, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp / "best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+        warmup_shape="2,32,32"))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    yield url, apply_fn
+    server.shutdown()
+    server.server_close()
+
+
+def _post_npz(url, **arrays):
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    req = urllib.request.Request(url, data=buf.getvalue())
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["k"] == 1 and payload["classes"] == 1
+    assert payload["source"] == "ckpt"
+    assert payload["requests"] >= 1  # warmup counted
+
+
+def test_segment_matches_direct_inference(served):
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    url, apply_fn = served
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((5, 32, 32)).astype(np.float32)
+
+    with _post_npz(url + "/v1/segment?probs=1", img=vol) as r:
+        out = np.load(io.BytesIO(r.read()))
+    probs_ref = segment_volume_2d(apply_fn, vol, k=1, batch_size=4)
+    assert out["probs"].shape == probs_ref.shape
+    np.testing.assert_allclose(out["probs"], probs_ref, atol=1e-6)
+    np.testing.assert_array_equal(out["mask"],
+                                  (probs_ref[:, 0] > 0.5).astype(np.uint8))
+
+    # (S,1,H,W) layout and a custom threshold also work; no probs by default
+    with _post_npz(url + "/v1/segment?threshold=0.9",
+                   img=vol[:, None]) as r:
+        out2 = np.load(io.BytesIO(r.read()))
+    assert set(out2.files) == {"mask"}
+    np.testing.assert_array_equal(out2["mask"],
+                                  (probs_ref[:, 0] > 0.9).astype(np.uint8))
+
+
+def test_bad_requests(served):
+    url, _ = served
+    # missing img key -> 400
+    try:
+        _post_npz(url + "/v1/segment", wrong=np.zeros((2, 8, 8), np.float32))
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "img" in json.loads(e.read())["error"]
+    # bad rank -> 400
+    try:
+        _post_npz(url + "/v1/segment", img=np.zeros((8, 8), np.float32))
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown path -> 404
+    try:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+        assert False, "expected HTTP 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+@pytest.mark.slow
+def test_serve_qtree_matches_quantized_inference(served, tmp_path):
+    """The daemon serves a standalone int8 artifact (cli.quantize output)
+    without the original checkpoint, matching direct quantized inference."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli import quantize as qcli
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    url, _ = served  # reuse the module fixture's checkpoint on disk
+    ckpt = None
+    import glob
+    for cand in glob.glob(str(tmp_path.parent / "serve*/best.ckpt")):
+        ckpt = cand
+    assert ckpt, "module fixture checkpoint not found"
+
+    rng = np.random.default_rng(1)
+    vol = rng.standard_normal((4, 1, 32, 32)).astype(np.float32)
+    np.savez(tmp_path / "volume.npz", img=vol, msk=np.zeros(
+        (4, 32, 32), np.uint8))
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(tmp_path / "volume.npz"))
+    qtree_path = str(tmp_path / "q.npz")
+    qcli.main(["--ckpt", ckpt, "--list", str(lst), "--out", qtree_path,
+               "--calib-batches", "1", "--calib-batch-size", "4"])
+
+    server = create_server(SimpleNamespace(
+        qtree=qtree_path, ckpt=None, host="127.0.0.1", port=0,
+        batch_size=4, warmup_shape=""))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    qurl = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        with urllib.request.urlopen(qurl + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["source"] == "qtree"
+        with _post_npz(qurl + "/v1/segment?probs=1", img=vol) as r:
+            out = np.load(io.BytesIO(r.read()))
+        eng, qtree, meta = qcli.load_engine(qtree_path)
+        probs_ref = segment_volume_2d(lambda x: eng.apply(qtree, x),
+                                      vol, k=meta["k"], batch_size=4,
+                                      classes=meta["classes"])
+        np.testing.assert_allclose(out["probs"], probs_ref, atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.mark.slow
+def test_serve_multiclass_argmax(tmp_path):
+    """classes>1 serves argmax labels (uint8), matching the direct path."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 3, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=3)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp_path / "best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+        warmup_shape=""))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        vol = np.random.default_rng(2).standard_normal(
+            (3, 32, 32)).astype(np.float32)
+        with _post_npz(url + "/v1/segment", img=vol) as r:
+            out = np.load(io.BytesIO(r.read()))
+        probs = segment_volume_2d(
+            lambda x: model.apply(variables, x, train=False), vol,
+            k=1, batch_size=4, classes=3)
+        assert out["mask"].dtype == np.uint8
+        np.testing.assert_array_equal(out["mask"], probs.argmax(axis=1))
+    finally:
+        server.shutdown()
+        server.server_close()
