@@ -143,6 +143,30 @@ d16 = np.abs(p16 - want).max()
 assert np.isfinite(p16).all() and d16 < 0.25, f"bf16 scanned diff {d16}"
 step(f"   bf16 scanned within {d16:.3f} of f32  OK")
 
+step("2c. per-block remat grads vs naive on TPU")
+# remat (models/unet2d.py remat flag) recomputes the forward inside the
+# backward; at HIGHEST precision the grads must agree with the naive path
+# to reassociation tolerance (tree/forward equality pinned on CPU in
+# tests/test_models.py::test_unet2d_remat_matches_naive_exactly)
+rmt32 = ResNetEncoderUNet("resnet18", classes=1, dtype=jnp.float32,
+                          fused_decoder=False, remat=True)
+
+
+def _loss32(model, v, xb):
+    return jnp.mean(model.apply(v, xb, train=False) ** 2)
+
+
+with jax.default_matmul_precision("highest"):
+    g_n = jax.jit(jax.grad(lambda p: _loss32(ref32, p, x)))(v)
+    g_r = jax.jit(jax.grad(lambda p: _loss32(rmt32, p, x)))(v)
+worst = 0.0
+for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_r)):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    worst = max(worst, float(np.linalg.norm(a - b)
+                             / (np.linalg.norm(a) + 1e-12)))
+assert worst < 5e-3, f"remat grad rel-L2 {worst}"
+step(f"   remat grads rel-L2 within {worst:.2e}  OK")
+
 # ---------------- 3. e2e training ----------------
 step("3. e2e 6-epoch training on synthetic volumes (TPU)")
 from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
@@ -186,5 +210,38 @@ for f in ("args.json", "history.json", "summary.json",
     assert os.path.exists(p) or any(
         fn.startswith("best") for fn in os.listdir(out)), f"missing {f}"
 step("   artifacts present  OK")
+
+# ---------------- 4. serving daemon round-trip ----------------
+step("4. cli.serve round-trip on the trained checkpoint (TPU)")
+import io
+import threading
+import urllib.request
+from types import SimpleNamespace
+
+from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+
+ckpt = os.path.join(out, "best.ckpt")
+if not os.path.exists(ckpt):
+    ckpt = os.path.join(out, next(fn for fn in os.listdir(out)
+                                  if fn.startswith("best")
+                                  and fn.endswith(".ckpt")))
+server = create_server(SimpleNamespace(
+    qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+    warmup_shape="2,96,96"))
+threading.Thread(target=server.serve_forever, daemon=True).start()
+url = "http://127.0.0.1:%d" % server.server_address[1]
+with np.load(files[2]) as zf:
+    val_img, val_msk = zf["img"].astype(np.float32), zf["msk"]
+buf = io.BytesIO()
+np.savez_compressed(buf, img=val_img)
+with urllib.request.urlopen(urllib.request.Request(
+        url + "/v1/segment", data=buf.getvalue()), timeout=300) as r:
+    served_out = np.load(io.BytesIO(r.read()))
+pred = served_out["mask"].astype(bool)
+gt = val_msk.astype(bool)
+dice = 2 * (pred & gt).sum() / (pred.sum() + gt.sum() + 1e-9)
+server.shutdown(); server.server_close()
+assert dice > 0.9, f"served dice {dice}"
+step(f"   served volume dice {dice:.4f}  OK")
 
 print("VERIFY PASS", flush=True)
