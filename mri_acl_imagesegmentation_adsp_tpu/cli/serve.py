@@ -41,6 +41,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -58,6 +59,10 @@ class _ModelRunner:
         self.source = source
         self.batch_size = batch_size
         self.requests = 0
+        self.slices = 0
+        self.errors = 0
+        self.seconds = 0.0          # cumulative in-lock segmentation time
+        self.last_latency_s = 0.0
         self._lock = threading.Lock()
 
     def segment(self, vol: np.ndarray, threshold: float,
@@ -68,10 +73,14 @@ class _ModelRunner:
             raise ValueError(f"img must be (S,H,W) or (S,1,H,W), "
                              f"got shape {vol.shape}")
         with self._lock:
+            t0 = time.perf_counter()
             probs = segment_volume_2d(self.apply_fn, vol.astype(np.float32),
                                       k=self.k, batch_size=self.batch_size,
                                       classes=self.classes)
+            self.last_latency_s = time.perf_counter() - t0
+            self.seconds += self.last_latency_s
             self.requests += 1
+            self.slices += int(vol.shape[0])
         if self.classes == 1:
             mask = (probs[:, 0] > threshold).astype(np.uint8)
         else:
@@ -130,11 +139,34 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if urlparse(self.path).path != "/healthz":
-            return self._json(404, {"error": "unknown path"})
+        path = urlparse(self.path).path
         r = self.runner
-        self._json(200, {"status": "ok", "k": r.k, "classes": r.classes,
-                         "source": r.source, "requests": r.requests})
+        if path == "/healthz":
+            return self._json(200, {"status": "ok", "k": r.k,
+                                    "classes": r.classes,
+                                    "source": r.source,
+                                    "requests": r.requests})
+        if path == "/metricsz":
+            # Prometheus text exposition (counters/gauges; stdlib-only)
+            body = (
+                "# TYPE serve_requests_total counter\n"
+                f"serve_requests_total {r.requests}\n"
+                "# TYPE serve_slices_total counter\n"
+                f"serve_slices_total {r.slices}\n"
+                "# TYPE serve_errors_total counter\n"
+                f"serve_errors_total {r.errors}\n"
+                "# TYPE serve_busy_seconds_total counter\n"
+                f"serve_busy_seconds_total {r.seconds:.6f}\n"
+                "# TYPE serve_last_latency_seconds gauge\n"
+                f"serve_last_latency_seconds {r.last_latency_s:.6f}\n"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            return self.wfile.write(body)
+        return self._json(404, {"error": "unknown path"})
 
     def do_POST(self):
         url = urlparse(self.path)
@@ -152,8 +184,10 @@ class _Handler(BaseHTTPRequestHandler):
             want_probs = q.get("probs", ["0"])[0] in ("1", "true")
             out = self.runner.segment(vol, threshold, want_probs)
         except ValueError as exc:
+            self.runner.errors += 1
             return self._json(400, {"error": str(exc)})
         except Exception as exc:  # surface device/shape errors to the client
+            self.runner.errors += 1
             return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
         buf = io.BytesIO()
         np.savez_compressed(buf, **out)

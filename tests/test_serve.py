@@ -188,3 +188,26 @@ def test_serve_multiclass_argmax(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_metricsz(served):
+    """Prometheus text exposition reflects request/slice/error counters."""
+    url, _ = served
+    rng = np.random.default_rng(5)
+    with _post_npz(url + "/v1/segment",
+                   img=rng.standard_normal((2, 32, 32)).astype(np.float32)):
+        pass
+    try:  # one deliberate 400 to bump the error counter
+        _post_npz(url + "/v1/segment", wrong=np.zeros(1, np.float32))
+    except urllib.error.HTTPError:
+        pass
+    with urllib.request.urlopen(url + "/metricsz", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {line.split()[0]: float(line.split()[1])
+               for line in text.splitlines() if not line.startswith("#")}
+    assert metrics["serve_requests_total"] >= 2   # warmup + this test
+    assert metrics["serve_slices_total"] >= 4
+    assert metrics["serve_errors_total"] >= 1
+    assert metrics["serve_busy_seconds_total"] > 0
+    assert metrics["serve_last_latency_seconds"] > 0
