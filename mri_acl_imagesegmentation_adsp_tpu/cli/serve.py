@@ -16,14 +16,21 @@ Usage:
       --qtree runs/fastmri_unet/quant_int8.npz --port 8080
 
 Protocol (stdlib-only on both sides):
-  GET  /healthz            -> JSON {status, k, classes, source, requests}
-  POST /v1/segment         body: .npz bytes with array "img"
+  GET  /healthz            -> JSON {status, task, k, classes, source,
+                                    requests}
+  GET  /metricsz           -> Prometheus text exposition (counters)
+  POST /v1/segment         (--task segment, the default)
+                           body: .npz bytes with array "img"
                            ((S,H,W) or (S,1,H,W) float32, preprocessed the
                            same way training volumes were)
                            query: ?probs=1 to include probabilities,
                                   ?threshold=0.5 binary cutoff
                            -> .npz bytes {mask uint8 (S,H,W)
                                           [, probs float32 (S,C,H,W)]}
+  POST /v1/reconstruct     (--task recon; --ckpt is a varnet_best.ckpt)
+                           body: .npz with "kspace" and "espirit"
+                           real-pair arrays (coils,aves,h,w,2)
+                           -> .npz {recon float32 (h,w)}
 
 Client example:
   buf = io.BytesIO(); np.savez_compressed(buf, img=vol)
@@ -50,6 +57,8 @@ import numpy as np
 
 class _ModelRunner:
     """Owns the bound apply_fn + metadata; serializes device access."""
+
+    task = "segment"
 
     def __init__(self, apply_fn, k: int, classes: int, source: str,
                  batch_size: int):
@@ -96,10 +105,85 @@ class _ModelRunner:
         self.segment(np.zeros(shape, np.float32), 0.5, False)
 
 
-def _build_runner(args) -> _ModelRunner:
+class _ReconRunner:
+    """VarNet reconstruction serving (POST /v1/reconstruct).
+
+    Rebuilds the model from the args bundled with varnet_best.ckpt
+    (train/varnet_trainer.py:_save_best); parameters load lazily on the
+    first request — VarNet's parameter tree is shape-independent, so the
+    request's own kspace/espirit shapes serve as the init template and
+    later shape changes only recompile the forward."""
+
+    task = "recon"
+
+    def __init__(self, ckpt_path: str):
+        with open(ckpt_path + ".args.json", "r", encoding="utf-8") as f:
+            a = json.load(f)
+        import jax
+        import jax.numpy as jnp
+
+        from ..recon.varnet import VarNet
+        from ..train.varnet_trainer import combine_directions
+
+        self.model = VarNet(
+            bvalue=a.get("bvalue", "b50"),
+            num_cascades=a.get("num_cascades", 12),
+            sens_chans=a.get("sens_chans", 8),
+            sens_pools=a.get("sens_pools", 4),
+            chans=a.get("chans", 18), pools=a.get("pools", 4),
+            dtype=jnp.bfloat16 if a.get("amp", True) else jnp.float32)
+        self.ckpt_path = ckpt_path
+        self.source = "ckpt"
+        self.params = None
+        self._fwd = jax.jit(lambda p, k, e: combine_directions(
+            self.model.apply({"params": p}, k, e)))
+        self.requests = 0
+        self.slices = 0
+        self.errors = 0
+        self.seconds = 0.0
+        self.last_latency_s = 0.0
+        self._lock = threading.Lock()
+
+    def reconstruct(self, kspace: np.ndarray, espirit: np.ndarray) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from ..train import checkpoint as ckpt_lib
+
+        for name, arr in (("kspace", kspace), ("espirit", espirit)):
+            if arr.ndim not in (5, 6) or arr.shape[-1] != 2:
+                raise ValueError(
+                    f"{name} must be (coils,aves,h,w,2) real-pair "
+                    f"(optionally with a leading batch dim), got "
+                    f"shape {arr.shape}")
+        k = jnp.asarray(kspace[None] if kspace.ndim == 5 else kspace,
+                        jnp.float32)
+        e = jnp.asarray(espirit[None] if espirit.ndim == 5 else espirit,
+                        jnp.float32)
+        with self._lock:
+            t0 = time.perf_counter()
+            if self.params is None:
+                v = self.model.init(jax.random.PRNGKey(0), k, e)
+                self.params, _ = ckpt_lib.load_best(
+                    self.ckpt_path, v["params"], {})
+            out = np.asarray(self._fwd(self.params, k, e), np.float32)
+            self.last_latency_s = time.perf_counter() - t0
+            self.seconds += self.last_latency_s
+            self.requests += 1
+            self.slices += int(k.shape[0])
+        return {"recon": out[0] if kspace.ndim == 5 else out}
+
+
+def _build_runner(args):
     import jax.numpy as jnp  # noqa: F401  (ensures backend selected early)
 
     from .infer import load_model_from_ckpt, make_input_norm
+
+    if getattr(args, "task", "segment") == "recon":
+        if not args.ckpt:
+            raise ValueError("--task recon requires --ckpt "
+                             "(a varnet_best.ckpt)")
+        return _ReconRunner(args.ckpt)
 
     if args.qtree:
         from .quantize import load_engine
@@ -142,8 +226,9 @@ class _Handler(BaseHTTPRequestHandler):
         path = urlparse(self.path).path
         r = self.runner
         if path == "/healthz":
-            return self._json(200, {"status": "ok", "k": r.k,
-                                    "classes": r.classes,
+            return self._json(200, {"status": "ok", "task": r.task,
+                                    "k": getattr(r, "k", None),
+                                    "classes": getattr(r, "classes", None),
                                     "source": r.source,
                                     "requests": r.requests})
         if path == "/metricsz":
@@ -170,19 +255,29 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
-        if url.path != "/v1/segment":
-            return self._json(404, {"error": "unknown path"})
+        route = (url.path, self.runner.task)
+        if route not in (("/v1/segment", "segment"),
+                         ("/v1/reconstruct", "recon")):
+            return self._json(404, {"error": "unknown path for task "
+                                             f"{self.runner.task!r}"})
         try:
             n = int(self.headers.get("Content-Length", 0))
+            q = parse_qs(url.query)
             with np.load(io.BytesIO(self.rfile.read(n)),
                          allow_pickle=False) as z:
-                if "img" not in z:
-                    raise ValueError("npz body must contain array 'img'")
-                vol = z["img"]
-            q = parse_qs(url.query)
-            threshold = float(q.get("threshold", ["0.5"])[0])
-            want_probs = q.get("probs", ["0"])[0] in ("1", "true")
-            out = self.runner.segment(vol, threshold, want_probs)
+                if self.runner.task == "recon":
+                    for key in ("kspace", "espirit"):
+                        if key not in z:
+                            raise ValueError("npz body must contain arrays "
+                                             "'kspace' and 'espirit'")
+                    out = self.runner.reconstruct(z["kspace"], z["espirit"])
+                else:
+                    if "img" not in z:
+                        raise ValueError("npz body must contain array 'img'")
+                    threshold = float(q.get("threshold", ["0.5"])[0])
+                    want_probs = q.get("probs", ["0"])[0] in ("1", "true")
+                    out = self.runner.segment(z["img"], threshold,
+                                              want_probs)
         except ValueError as exc:
             self.runner.errors += 1
             return self._json(400, {"error": str(exc)})
@@ -203,7 +298,7 @@ def create_server(args) -> ThreadingHTTPServer:
     """Build the runner (loads + warms the model) and bind the server.
     Split from main() so tests can bind port 0 and drive it in-process."""
     runner = _build_runner(args)
-    if args.warmup_shape:
+    if getattr(args, "warmup_shape", "") and runner.task == "segment":
         shape = tuple(int(v) for v in args.warmup_shape.split(","))
         runner.warmup(shape)
     handler = type("BoundHandler", (_Handler,), {"runner": runner})
@@ -211,8 +306,14 @@ def create_server(args) -> ThreadingHTTPServer:
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser("Segmentation serving daemon")
-    p.add_argument("--ckpt", help="trained checkpoint (cli.infer format)")
+    p = argparse.ArgumentParser("Segmentation/reconstruction serving daemon")
+    p.add_argument("--task", choices=("segment", "recon"), default="segment",
+                   help="segment = 2-D U-Net family (POST /v1/segment); "
+                        "recon = VarNet (POST /v1/reconstruct with "
+                        "{kspace, espirit} real-pair arrays, --ckpt is a "
+                        "varnet_best.ckpt)")
+    p.add_argument("--ckpt", help="trained checkpoint (cli.infer format, "
+                                  "or varnet_best.ckpt with --task recon)")
     p.add_argument("--qtree", help="quantized artifact from cli.quantize "
                                    "(serves without the checkpoint)")
     p.add_argument("--host", default="127.0.0.1")

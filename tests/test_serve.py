@@ -211,3 +211,56 @@ def test_metricsz(served):
     assert metrics["serve_errors_total"] >= 1
     assert metrics["serve_busy_seconds_total"] > 0
     assert metrics["serve_last_latency_seconds"] > 0
+
+
+@pytest.mark.slow
+def test_serve_varnet_reconstruction(tmp_path):
+    """--task recon serves VarNet: /v1/reconstruct == the trainer's jitted
+    forward (combine_directions) on the same params."""
+    from dataclasses import asdict
+
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.recon.varnet import VarNet
+    from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
+        VarNetArgs, combine_directions)
+
+    vargs = VarNetArgs(num_cascades=2, chans=4, pools=2, sens_chans=2,
+                       sens_pools=2, amp=False)
+    model = VarNet(bvalue=vargs.bvalue, num_cascades=vargs.num_cascades,
+                   sens_chans=vargs.sens_chans, sens_pools=vargs.sens_pools,
+                   chans=vargs.chans, pools=vargs.pools)
+    rng = np.random.default_rng(0)
+    ksp = rng.standard_normal((2, 1, 32, 24, 2)).astype(np.float32)
+    esp = rng.standard_normal((2, 1, 32, 24, 2)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(3), jnp.asarray(ksp[None]),
+                   jnp.asarray(esp[None]))
+    ckpt = str(tmp_path / "varnet_best.ckpt")
+    ckpt_lib.save_best(ckpt, v["params"], {}, asdict(vargs))
+
+    server = create_server(SimpleNamespace(
+        task="recon", qtree=None, ckpt=ckpt, host="127.0.0.1", port=0,
+        batch_size=1, warmup_shape=""))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["task"] == "recon"
+        with _post_npz(url + "/v1/reconstruct", kspace=ksp,
+                       espirit=esp) as r:
+            out = np.load(io.BytesIO(r.read()))
+        want = np.asarray(combine_directions(model.apply(
+            {"params": v["params"]}, jnp.asarray(ksp[None]),
+            jnp.asarray(esp[None]))))[0]
+        assert out["recon"].shape == want.shape
+        # served path is jitted; the eager oracle reassociates differently
+        np.testing.assert_allclose(out["recon"], want, rtol=1e-3, atol=1e-4)
+        # segment endpoint is not routed for this task
+        try:
+            _post_npz(url + "/v1/segment",
+                      img=np.zeros((2, 8, 8), np.float32))
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
