@@ -31,7 +31,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "model", "encoder", "encoder_weights", "aug", "imagenet_norm", "k",
     "classes", "logger", "save_val_probs", "max_grad_norm", "amp", "seed",
     "data_parallel", "store_dtype", "resume", "save_resume_every",
-    "profile_epochs", "store_sharded", "remat",
+    "profile_epochs", "store_sharded", "remat", "accum_steps",
 )
 
 
@@ -213,6 +213,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Rematerialize U-Net blocks in the backward pass "
                           "(trades recompute for saved-activation HBM "
                           "traffic; numerics-equal, see models/unet2d.py).")
+    tpu.add_argument("--accum-steps", type=int, default=1,
+                     help="Gradient accumulation: microbatches per optimizer "
+                          "update (effective global batch = batch-size x "
+                          "this, at one microbatch's HBM working set).")
     return parser
 
 

@@ -91,6 +91,7 @@ class Engine:
         donate: bool = True,
         input_transform: Optional[Callable] = None,
         scan_unroll: int = 1,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -102,6 +103,18 @@ class Engine:
         # can overlap one step's optimizer tail with the next step's
         # forward pass (at unroll x compile time/code size)
         self.scan_unroll = int(scan_unroll)
+        # accum_steps>1: one optimizer update per N microbatches (mean of
+        # the microbatch gradients) — an effective global batch of
+        # N x batch_size at the HBM working set of ONE microbatch. The
+        # reference has no equivalent (single-GPU AMP only); this is the
+        # standard large-batch escape hatch when memory bounds batch_size
+        # (e.g. the 3-D patch path). Exact for sample-decomposable losses
+        # (ce/bce/focal); batch-global losses (dice over the batch) see the
+        # mean-of-microbatch-losses semantics, the same behavior DDP
+        # data-parallel gives the reference stack. Losses are still
+        # reported per microbatch; TrainState.step counts optimizer
+        # updates.
+        self.accum_steps = int(accum_steps)
         # applied to x AFTER augmentation (reference order: datasets.py:128-131
         # normalizes after the albumentations pipeline), e.g. imagenet norm
         self.input_transform = input_transform or (lambda x: x)
@@ -168,17 +181,24 @@ class Engine:
         return self.model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False)
 
-    def _train_step(self, state: TrainState, x, y, key):
+    def _grads_one(self, params, batch_stats, x, y, key):
+        """One microbatch: augment, forward, backward. Returns
+        (loss, grads, updated batch_stats)."""
         x, y = self._shard_batch(x, y)
         x, y = augment_batch(x, y, key, self.aug)
         x = self.input_transform(x)
 
         def loss_fn(p):
-            logits, upd = self._apply_train(p, state.batch_stats, x)
+            logits, upd = self._apply_train(p, batch_stats, x)
             return self._loss_from_logits(logits, y), upd["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            params)
+        return loss, grads, new_bs
+
+    def _train_step(self, state: TrainState, x, y, key):
+        loss, grads, new_bs = self._grads_one(
+            state.params, state.batch_stats, x, y, key)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
@@ -189,20 +209,60 @@ class Engine:
 
     def _train_epoch(self, state: TrainState, images, masks, neighbors,
                      perm, aug_key, batch_size: int):
-        """scan over (steps, batch) permutation; returns per-step losses."""
+        """scan over (steps, batch) permutation; returns per-step losses.
+
+        With accum_steps=N the permutation is viewed as (steps/N, N, batch):
+        an inner scan accumulates the N microbatch gradients (BatchNorm
+        running stats update sequentially, exactly as N separate steps
+        would), then ONE optimizer update applies their mean. Losses come
+        back per microbatch either way, so CSV step logging is unchanged.
+        """
         steps = perm.shape[0]
         keys = jax.random.split(aug_key, steps)
+        accum = self.accum_steps
 
-        def body(carry, inp):
-            st = carry
-            idx, key = inp
-            x, y = gather_batch(images, masks, neighbors, idx)
-            st, loss = self._train_step(st, x, y, key)
-            return st, loss
+        if accum <= 1:
+            def body(carry, inp):
+                st = carry
+                idx, key = inp
+                x, y = gather_batch(images, masks, neighbors, idx)
+                st, loss = self._train_step(st, x, y, key)
+                return st, loss
 
-        state, losses = lax.scan(body, state, (perm, keys),
+            state, losses = lax.scan(body, state, (perm, keys),
+                                     unroll=self.scan_unroll)
+            return state, losses
+
+        outer = steps // accum   # host guarantees divisibility (async API)
+        perm3 = perm.reshape(outer, accum, perm.shape[1])
+        keys3 = keys.reshape(outer, accum, *keys.shape[1:])
+        inv_accum = jnp.asarray(1.0 / accum, jnp.float32)
+
+        def outer_body(st, inp):
+            idxs, ks = inp
+
+            def micro(carry, minp):
+                bstats, gsum = carry
+                idx, key = minp
+                x, y = gather_batch(images, masks, neighbors, idx)
+                loss, grads, bstats = self._grads_one(
+                    st.params, bstats, x, y, key)
+                gsum = jax.tree.map(jnp.add, gsum, grads)
+                return (bstats, gsum), loss
+
+            zeros = jax.tree.map(jnp.zeros_like, st.params)
+            (new_bs, gsum), losses = lax.scan(
+                micro, (st.batch_stats, zeros), (idxs, ks))
+            grads = jax.tree.map(
+                lambda g: (g * inv_accum).astype(g.dtype), gsum)
+            updates, new_opt = self.tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            return (TrainState(new_params, new_bs, new_opt, st.step + 1),
+                    losses)
+
+        state, losses = lax.scan(outer_body, state, (perm3, keys3),
                                  unroll=self.scan_unroll)
-        return state, losses
+        return state, losses.reshape(outer * accum)
 
     def _eval_batches(self, params, batch_stats, images, masks, neighbors,
                       idx_mat, batch_size: int):
@@ -282,7 +342,7 @@ class Engine:
         batch = int(perm.shape[1])
         state, losses_dev = self.train_one_epoch_async(state, store, perm,
                                                        aug_key)
-        losses = self.check_epoch_losses(losses_dev, state)
+        losses = self.check_epoch_losses(losses_dev, state, self.accum_steps)
         avg = float(losses.sum() * batch / dataset_len)
         return state, losses, avg
 
@@ -299,21 +359,33 @@ class Engine:
         The non-finite guard semantics are preserved — it just fires at the
         next sync point instead of per epoch.
         """
+        if self.accum_steps > 1:
+            # one optimizer update per accum_steps microbatches; drop the
+            # ragged tail the way drop_last already drops ragged batches
+            steps = int(perm.shape[0]) - int(perm.shape[0]) % self.accum_steps
+            perm = perm[:steps]
         return self._train_epoch_c(
             state, store.images, store.masks, store.neighbors, perm, aug_key,
             batch_size=int(perm.shape[1]))
 
     @staticmethod
     def check_epoch_losses(losses_dev: jnp.ndarray,
-                           state: Optional[TrainState] = None) -> np.ndarray:
+                           state: Optional[TrainState] = None,
+                           accum_steps: int = 1) -> np.ndarray:
         """Sync per-step losses to host; raise on non-finite values naming
-        the global step (reference engine.py:92-93 guard)."""
+        the global step (reference engine.py:92-93 guard).
+
+        With gradient accumulation, losses are per MICROBATCH while
+        ``state.step`` counts optimizer updates — pass ``accum_steps`` so
+        the guard names the right global optimizer step."""
         losses = np.asarray(losses_dev)
         if not np.all(np.isfinite(losses)):
             bad = int(np.argmax(~np.isfinite(losses.ravel())))
             value = losses.ravel()[bad]
             if state is not None:
-                bad += int(np.asarray(state.step)) - losses.size
+                n_updates = losses.size // max(accum_steps, 1)
+                bad = (int(np.asarray(state.step)) - n_updates
+                       + bad // max(accum_steps, 1))
             raise RuntimeError(f"Non-finite loss at step {bad}: {value}")
         return losses
 

@@ -87,6 +87,7 @@ class UNet2DArgs:
     store_sharded: bool = False              # shard slice store over the mesh
     multihost: bool = False                  # jax.distributed multi-host (DCN)
     remat: bool = False                      # per-block backward remat (unet)
+    accum_steps: int = 1                     # microbatches per optimizer step
 
 
 class UNet2DTrainer:
@@ -195,7 +196,8 @@ class UNet2DTrainer:
         self.tx = make_optimizer(a.lr, a.weight_decay, a.max_grad_norm)
         self.engine = Engine(self.model, self.loss_obj, self.tx,
                              classes=a.classes, aug=a.aug, mesh=self.mesh,
-                             input_transform=self._input_transform())
+                             input_transform=self._input_transform(),
+                             accum_steps=a.accum_steps)
         init_rng, self.rng = jax.random.split(self.rng)
         sample = jnp.zeros((1, self.h, self.w, self._determine_in_channels()
                             if self.args.imagenet_norm else self.args.k),

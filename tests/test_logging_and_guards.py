@@ -132,3 +132,83 @@ def test_tb_logger_degrades_without_torch(tmp_path, monkeypatch):
     # exactly one CSV sink survives
     assert isinstance(lg2, L.CSVLoggerAdapter)
     lg2.close()
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (Engine accum_steps)
+# ---------------------------------------------------------------------------
+
+def test_accum_grads_match_big_batch(rng):
+    """accum_steps=N with batch B must produce the SAME optimizer update as
+    one step at batch N*B when the loss is sample-decomposable (ce is a
+    mean over pixels) and nothing couples samples (frozen stats, aug off).
+    The mean of N microbatch gradients reassociates the big batch's mean,
+    so tolerance, not bit-equality."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import SliceStore
+    from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+        Engine, make_optimizer)
+    from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
+
+    class Toy(nn.Module):
+        classes: int = 3
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            # declare an (unused) batch_stats collection so the engine's
+            # mutable-apply contract holds without cross-sample coupling
+            self.variable("batch_stats", "dummy", lambda: jnp.zeros(()))
+            h = nn.relu(nn.Conv(8, (3, 3))(x))
+            return nn.Conv(self.classes, (1, 1))(h)
+
+    n, h, w = 8, 16, 16
+    imgs = rng.standard_normal((n, h, w)).astype(np.float32)
+    msks = rng.integers(0, 3, size=(n, h, w)).astype(np.int32)
+    store = SliceStore(images=imgs, masks=msks,
+                       vol_starts=np.asarray([0]),
+                       vol_sizes=np.asarray([n]),
+                       files=["x"]).to_device(k=1)
+    loss = LossManager(classes=3, name="ce")
+
+    perm_big = jnp.arange(n, dtype=jnp.int32).reshape(1, n)
+    perm_micro = jnp.arange(n, dtype=jnp.int32).reshape(2, n // 2)
+
+    states = []
+    losses = []
+    for accum, perm in ((1, perm_big), (2, perm_micro)):
+        eng = Engine(Toy(), loss, make_optimizer(1e-2, 1e-4, 5.0),
+                     classes=3, aug="none", accum_steps=accum)
+        st = eng.init_state(jax.random.PRNGKey(0),
+                            jnp.zeros((1, h, w, 1), jnp.float32))
+        st, ls, _ = eng.train_one_epoch(st, store, perm,
+                                        jax.random.PRNGKey(2), dataset_len=n)
+        states.append(st)
+        losses.append(np.asarray(ls))
+
+    # one optimizer update happened in both runs
+    assert int(np.asarray(states[0].step)) == 1
+    assert int(np.asarray(states[1].step)) == 1
+    # mean microbatch loss == big-batch loss (ce decomposes over samples)
+    np.testing.assert_allclose(losses[1].mean(), losses[0].mean(), rtol=1e-5)
+    # updated parameters agree leaf-by-leaf
+    for a, b in zip(jax.tree.leaves(states[0].params),
+                    jax.tree.leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+
+
+def test_accum_guard_names_optimizer_step():
+    """check_epoch_losses maps a bad MICROBATCH index to the optimizer step
+    that consumed it when accum_steps > 1."""
+    import jax.numpy as jnp
+    from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+        Engine, TrainState)
+
+    # 6 microbatch losses at accum=3 -> 2 optimizer updates; state.step=2.
+    losses = np.asarray([0.5, 0.4, 0.3, 0.2, np.nan, 0.1], np.float32)
+    state = TrainState(params={}, batch_stats={}, opt_state=None,
+                       step=jnp.int32(2))
+    with pytest.raises(RuntimeError, match="Non-finite loss at step 1"):
+        Engine.check_epoch_losses(losses, state, accum_steps=3)
