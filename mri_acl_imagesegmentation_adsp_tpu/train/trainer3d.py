@@ -121,6 +121,11 @@ class UNet3DArgs:
     device_sampling: bool = False   # HBM-resident store + in-jit patch
                                     # sampling (data/volume3d.py); host
                                     # KneeNPZ3D stays the reference default
+    accum_steps: int = 1            # microbatches per optimizer update —
+                                    # the 3-D path is memory-bound (batch 2
+                                    # at the reference ROI needs remat on a
+                                    # 16 GB chip), so this is THE way to
+                                    # reach larger effective batches
 
 
 class UNet3DTrainer:
@@ -182,13 +187,17 @@ class UNet3DTrainer:
 
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._grad_step = jax.jit(self._grad_step_impl)
+        self._add_grads = jax.jit(
+            lambda a, b: jax.tree.map(jnp.add, a, b))
+        self._apply_grads = jax.jit(self._apply_grads_impl)
 
     # ------------------------------------------------------------------
 
     def _logits_nc(self, logits_ndhwc):
         return jnp.transpose(logits_ndhwc, (0, 4, 1, 2, 3))  # NCDHW
 
-    def _train_step_impl(self, params, batch_stats, opt_state, x, y):
+    def _grad_step_impl(self, params, batch_stats, x, y):
         def loss_of(p):
             out = self.model.apply({"params": p, "batch_stats": batch_stats},
                                    x, train=True, mutable=["batch_stats"])
@@ -198,6 +207,15 @@ class UNet3DTrainer:
                   else y)
             return self.loss_fn(lg, tg), upd.get("batch_stats", batch_stats)
         (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        return loss, grads, new_bs
+
+    def _apply_grads_impl(self, params, opt_state, gsum, count):
+        grads = jax.tree.map(lambda g: g / count, gsum)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _train_step_impl(self, params, batch_stats, opt_state, x, y):
+        loss, grads, new_bs = self._grad_step_impl(params, batch_stats, x, y)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss
@@ -212,13 +230,31 @@ class UNet3DTrainer:
     # ------------------------------------------------------------------
 
     def train_one_epoch(self) -> float:
+        accum = max(1, int(self.args.accum_steps))
         run, nb = 0.0, 0
+        gsum, in_group = None, 0
         for x, y in self._train_batches():
-            self.params, self.batch_stats, self.opt_state, loss = \
-                self._train_step(self.params, self.batch_stats, self.opt_state,
-                                 jnp.asarray(x), jnp.asarray(y))
+            if accum == 1:
+                self.params, self.batch_stats, self.opt_state, loss = \
+                    self._train_step(self.params, self.batch_stats,
+                                     self.opt_state,
+                                     jnp.asarray(x), jnp.asarray(y))
+            else:
+                loss, grads, self.batch_stats = self._grad_step(
+                    self.params, self.batch_stats,
+                    jnp.asarray(x), jnp.asarray(y))
+                gsum = grads if gsum is None else self._add_grads(gsum, grads)
+                in_group += 1
+                if in_group == accum:
+                    self.params, self.opt_state = self._apply_grads(
+                        self.params, self.opt_state, gsum,
+                        jnp.float32(in_group))
+                    gsum, in_group = None, 0
             run += float(loss)
             nb += 1
+        if in_group:   # ragged tail still updates (mean over what we have)
+            self.params, self.opt_state = self._apply_grads(
+                self.params, self.opt_state, gsum, jnp.float32(in_group))
         return run / max(1, nb)
 
     def _train_batches(self):
@@ -264,3 +300,56 @@ class UNet3DTrainer:
         print("Done. Best:", self.best_path)
         return {"best_ckpt": self.best_path,
                 "best_val_loss": float(self.best_val)}
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference parse_args surface, train_unet3d.py:105-133, made runnable)
+# ---------------------------------------------------------------------------
+
+def parse_args(argv=None) -> UNet3DArgs:
+    import argparse
+    p = argparse.ArgumentParser("Train 3D U-Net (class runner)")
+    p.add_argument("--train-list", required=True)
+    p.add_argument("--val-list", required=True)
+    p.add_argument("--out-dir", default="runs/unet3d_balanced")
+    p.add_argument("--roi", type=int, nargs=3, default=[160, 160, 64])
+    p.add_argument("--channels", type=int, nargs="+",
+                   default=[32, 64, 128, 256, 320])
+    p.add_argument("--classes", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--amp", action="store_true")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--pos-neg-ratio", type=float, default=1.0)
+    p.add_argument("--samples-per-vol-train", type=int, default=12)
+    p.add_argument("--samples-per-vol-val", type=int, default=2)
+    # TPU extensions
+    p.add_argument("--device-sampling", action="store_true",
+                   help="HBM-resident volume store + in-jit patch sampling")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="microbatches per optimizer update (effective "
+                        "batch = batch-size x this at one microbatch's "
+                        "HBM working set)")
+    a = p.parse_args(argv)
+    return UNet3DArgs(
+        train_list=a.train_list, val_list=a.val_list, out_dir=a.out_dir,
+        roi=tuple(a.roi), channels=tuple(a.channels), classes=a.classes,
+        batch_size=a.batch_size, epochs=a.epochs, lr=a.lr,
+        weight_decay=a.weight_decay, workers=a.workers, amp=a.amp,
+        seed=a.seed, pos_neg_ratio=a.pos_neg_ratio,
+        samples_per_vol_train=a.samples_per_vol_train,
+        samples_per_vol_val=a.samples_per_vol_val,
+        device_sampling=a.device_sampling, accum_steps=a.accum_steps,
+    )
+
+
+def main(argv=None) -> int:
+    UNet3DTrainer(parse_args(argv)).fit()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -88,3 +88,24 @@ def test_device_store_patch_semantics(packs3d):
     # with an overwhelming ratio every patch containing positives must
     # actually contain positive voxels (center draws from the pos table)
     assert (y.reshape(8, -1).max(axis=1) > 0).mean() >= 0.9
+
+
+def test_unet3d_accum_and_cli_surface(packs3d, tmp_path):
+    """--accum-steps on the 3-D path (its whole point: batch 2 is the HBM
+    ceiling at the reference ROI): 5 microbatches at accum 2 = 2 full
+    groups + a ragged tail that still applies. Plus the reference
+    parse_args surface (train_unet3d.py:105-133) rebuilt runnable."""
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer3d import parse_args
+
+    args = parse_args([
+        "--train-list", packs3d, "--val-list", packs3d,
+        "--out-dir", str(tmp_path / "run3d_accum"),
+        "--roi", "16", "16", "8", "--channels", "8", "16",
+        "--epochs", "1", "--batch-size", "2",
+        "--samples-per-vol-train", "5", "--samples-per-vol-val", "1",
+        "--accum-steps", "2", "--seed", "3",
+    ])
+    assert args.accum_steps == 2 and args.roi == (16, 16, 8)
+    out = UNet3DTrainer(args).fit()
+    assert os.path.exists(out["best_ckpt"])
+    assert np.isfinite(out["best_val_loss"])
