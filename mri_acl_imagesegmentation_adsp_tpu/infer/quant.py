@@ -273,12 +273,26 @@ class QuantizedUNet2D:
     # ------------------------------------------------------------------
 
     def apply(self, qtree: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        """Quantized (or folded-precision) inference. Jit me."""
+        """Quantized (or folded-precision) inference. Jit me.
+
+        Accepts an int8 qtree from ``quantize()`` in either config mode
+        (mode="folded" dequantizes the int8 weights and runs f32 convs),
+        or — in mode="folded" only — a raw folded tree from ``fold()``
+        (full-precision weights, the ``apply_folded`` numerics)."""
         cdt = self.config.compute_dtype
         int8_mode = self.config.mode == "int8"
 
-        def qconv(path, y, leaf, _b, stride, padding):
+        def qconv(path, y, leaf, b, stride, padding):
+            # leaf is a quant-leaf dict {w_q, w_scale, x_scale, bias} for
+            # qtrees; for folded trees _forward's cbr already unpacked the
+            # raw kernel into `leaf` and the folded bias into `b`
+            is_qleaf = isinstance(leaf, dict)
             if int8_mode:
+                if not is_qleaf:
+                    raise TypeError(
+                        f"int8 apply needs a quantized tree (leaf at "
+                        f"{path!r} has no scales); run quantize() or use "
+                        f"mode='folded'")
                 yq = jnp.clip(jnp.round(y.astype(jnp.float32)
                                         / leaf["x_scale"]), -127, 127
                               ).astype(jnp.int8)
@@ -287,14 +301,18 @@ class QuantizedUNet2D:
                     preferred_element_type=jnp.int32)
                 out = (acc.astype(jnp.float32)
                        * (leaf["x_scale"] * leaf["w_scale"]))
+                bias = leaf.get("bias")
             else:
+                if is_qleaf:
+                    w = leaf["w_q"].astype(jnp.float32) * leaf["w_scale"]
+                    bias = leaf.get("bias")
+                else:
+                    w, bias = leaf, b
                 out = lax.conv_general_dilated(
-                    y.astype(cdt),
-                    (leaf["w_q"].astype(jnp.float32) * leaf["w_scale"]
-                     if "w_q" in leaf else leaf["w"]).astype(cdt),
-                    stride, padding, dimension_numbers=_DN)
-            if leaf.get("bias") is not None:
-                out = out + leaf["bias"].astype(out.dtype)
+                    y.astype(cdt), w.astype(cdt), stride, padding,
+                    dimension_numbers=_DN)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
             return out.astype(cdt)
 
         return self._forward(qtree, x.astype(cdt), qconv)

@@ -441,7 +441,10 @@ class Engine:
         for shard in volume_affine_shards(vol_sizes, n_shards):
             arr = np.asarray(shard, np.int64)
             pad = (-len(arr)) % batch_size
-            padded = np.concatenate([arr, arr[:pad]]) if pad else arr
+            # wrap-around padding (np.resize) — arr[:pad] under-fills when
+            # the whole shard is shorter than the pad (tiny shards at big
+            # batch sizes) and the (-1, batch) reshape would then fail
+            padded = np.resize(arr, len(arr) + pad) if pad else arr
             idx_mat = jnp.asarray(
                 padded.reshape(-1, batch_size).astype(np.int32))
             d, i = self._eval_per_slice_c(

@@ -144,6 +144,27 @@ def dice_ce_loss_3d_binary(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.mean(dice) + soft_bce_loss(logits, targets)
 
 
+def dice_ce_loss_3d_multiclass(logits: jnp.ndarray, targets: jnp.ndarray,
+                               smooth_nr: float = 1e-5,
+                               smooth_dr: float = 1e-5) -> jnp.ndarray:
+    """MONAI DiceCELoss(softmax=True, to_onehot_y=True) for (N,C,D,H,W)
+    logits + (N,D,H,W) int labels (reference train_unet3d.py:171-175
+    multiclass branch): per-sample per-class soft dice with
+    include_background=True and batch=False (absent classes still
+    penalized — dice→1 for false positives on a class with no target
+    voxels), mean over samples and classes, plus softmax CE, summed 1:1.
+    Unlike smp's multiclass dice (dice_loss_multiclass above), nothing is
+    batch-global and no absent-class masking applies."""
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    c = logits.shape[1]
+    t1h = jax.nn.one_hot(targets, c, axis=1).astype(jnp.float32)
+    dims = tuple(range(2, logits.ndim))
+    inter = jnp.sum(p * t1h, axis=dims)                       # (N, C)
+    denom = jnp.sum(p, axis=dims) + jnp.sum(t1h, axis=dims)
+    dice = 1.0 - (2.0 * inter + smooth_nr) / (denom + smooth_dr)
+    return jnp.mean(dice) + cross_entropy_loss(logits, targets)
+
+
 # --------------------------------------------------------------------------
 # LossManager (reference API)
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, asdict
 from typing import Any, Dict, List, Tuple
 
@@ -28,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .losses import dice_ce_loss_3d_binary, dice_loss_multiclass, cross_entropy_loss
+from .losses import dice_ce_loss_3d_binary, dice_ce_loss_3d_multiclass
 from .engine import make_optimizer
 from . import checkpoint as ckpt_lib
 from ..data.hbm_loader import read_list
@@ -40,22 +41,32 @@ class KneeNPZ3D:
 
     def __init__(self, list_txt: str, roi: Tuple[int, int, int] = (160, 160, 64),
                  pos_neg_ratio: float = 1.0, samples_per_vol: int = 12,
-                 train: bool = True, seed: int = 0):
+                 train: bool = True, seed: int = 0, cache_volumes: int = 8):
         self.files = read_list(list_txt)
         self.roi = tuple(roi)
         self.r = float(pos_neg_ratio)
         self.n = int(samples_per_vol)
         self.train = bool(train)
         self.rng = np.random.default_rng(seed)
-        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # bounded LRU of z-scored volumes: the reference reloads the npz
+        # on EVERY __getitem__ (train_unet3d.py:32-37); caching keeps the
+        # reload savings without letting a 973-volume corpus accumulate
+        # in host RAM across epochs
+        self.cache_volumes = max(1, int(cache_volumes))
+        self._cache: "OrderedDict[int, Tuple[np.ndarray, np.ndarray]]" = \
+            OrderedDict()
 
     def _load(self, fidx: int):
-        if fidx not in self._cache:
+        if fidx in self._cache:
+            self._cache.move_to_end(fidx)
+        else:
             z = np.load(self.files[fidx])
             x = z["img"].astype(np.float32)          # (S,1,H,W)
             y = z["msk"].astype(np.int64)            # (S,H,W)
             mu, sd = float(x.mean()), float(x.std() + 1e-6)
             self._cache[fidx] = ((x - mu) / sd, y)
+            while len(self._cache) > self.cache_volumes:
+                self._cache.popitem(last=False)
         return self._cache[fidx]
 
     def _sample(self, x: np.ndarray, y: np.ndarray, positive: bool):
@@ -75,6 +86,16 @@ class KneeNPZ3D:
         x0 = int(np.clip(cx - X // 2, 0, max(0, W - X)))
         px = x[z0:z0 + D, 0, y0:y0 + Y, x0:x0 + X]   # (D,Y,X)
         py = y[z0:z0 + D, y0:y0 + Y, x0:x0 + X]
+        # volumes smaller than the ROI produce clipped patches — zero-pad
+        # back to the full ROI so every patch has ONE static shape: mixed
+        # shapes crash np.stack in batches() and each distinct shape would
+        # recompile the jitted step (20-150 s on this backend). The
+        # reference has the same raggedness and simply crashes on it.
+        tgt = (self.roi[2], self.roi[0], self.roi[1])
+        if px.shape != tgt:
+            pad = tuple((0, t - s) for t, s in zip(tgt, px.shape))
+            px = np.pad(px, pad)
+            py = np.pad(py, pad)
         return px, py
 
     def __len__(self):
@@ -149,18 +170,13 @@ class UNet3DTrainer:
                                   channels=args.channels, dtype=dtype)
         self.tx = make_optimizer(args.lr, args.weight_decay, 0.0)  # no clip (ref)
 
-        # loss: MONAI DiceCELoss semantics
+        # loss: MONAI DiceCELoss semantics for BOTH branches (reference
+        # train_unet3d.py:171-175) — per-sample dice, no absent-class
+        # masking (the smp-style multiclass dice is a different function)
         if args.classes == 1:
             self.loss_fn = dice_ce_loss_3d_binary
         else:
-            def loss_fn(logits, targets):
-                # logits (B,C,D,H,W) from NCDHW transpose; reuse 2-D
-                # multiclass kernels on the flattened spatial dims
-                b, c = logits.shape[0], logits.shape[1]
-                lg = logits.reshape(b, c, -1, 1)
-                tg = targets.reshape(b, -1, 1)
-                return dice_loss_multiclass(lg, tg) + cross_entropy_loss(lg, tg)
-            self.loss_fn = loss_fn
+            self.loss_fn = dice_ce_loss_3d_multiclass
 
         # init with a probe ROI-sized patch
         x0, _ = self.train_ds[0]

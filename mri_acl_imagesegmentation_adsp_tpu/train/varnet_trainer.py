@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 from collections import defaultdict
-from dataclasses import dataclass, asdict
+from dataclasses import dataclass, asdict, fields as dc_fields
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -83,6 +83,21 @@ class VarNetArgs:
     num_workers: int = 0
 
 
+def build_varnet_from_args(a) -> VarNet:
+    """The ONE VarNet construction path, shared by training and serving
+    (cli.serve --task recon). Accepts a VarNetArgs or a saved args dict
+    (varnet_best.ckpt.args.json); missing/unknown dict fields fall back to
+    VarNetArgs defaults, so a new architecture knob added to VarNetArgs is
+    automatically honored at serving time."""
+    if not isinstance(a, VarNetArgs):
+        known = {f.name for f in dc_fields(VarNetArgs)}
+        a = VarNetArgs(**{k: v for k, v in dict(a).items() if k in known})
+    dtype = jnp.bfloat16 if a.amp else jnp.float32
+    return VarNet(bvalue=a.bvalue, num_cascades=a.num_cascades,
+                  sens_chans=a.sens_chans, sens_pools=a.sens_pools,
+                  chans=a.chans, pools=a.pools, dtype=dtype)
+
+
 class VarNetTrainer:
     """Host loop around a jitted VarNet SSIM step."""
 
@@ -92,12 +107,7 @@ class VarNetTrainer:
         self.train_ds = train_ds
         self.val_ds = val_ds
 
-        dtype = jnp.bfloat16 if args.amp else jnp.float32
-        self.model = VarNet(bvalue=args.bvalue,
-                            num_cascades=args.num_cascades,
-                            sens_chans=args.sens_chans,
-                            sens_pools=args.sens_pools,
-                            chans=args.chans, pools=args.pools, dtype=dtype)
+        self.model = build_varnet_from_args(args)
         # StepLR via optax schedule on the step counter (epoch-granular)
         self.tx = optax.inject_hyperparams(
             lambda learning_rate: optax.adamw(

@@ -178,3 +178,42 @@ def test_loss_manager_rejects_unknown():
         LossManager(classes=1, name="nope")
     with pytest.raises(ValueError):
         LossManager(classes=3, name="focal")
+
+
+def torch_monai_dice_ce_multiclass(logits, targets,
+                                   smooth_nr=1e-5, smooth_dr=1e-5):
+    """MONAI DiceCELoss(softmax=True, to_onehot_y=True) transcription:
+    per-sample per-class soft dice, include_background, batch=False, no
+    absent-class masking; + CrossEntropy; lambda 1:1."""
+    lg = torch.from_numpy(logits)
+    tg = torch.from_numpy(targets)
+    c = lg.shape[1]
+    p = torch.softmax(lg, dim=1)
+    t1h = F.one_hot(tg.long(), c).movedim(-1, 1).to(p.dtype)
+    dims = tuple(range(2, lg.ndim))
+    inter = (p * t1h).sum(dim=dims)
+    denom = p.sum(dim=dims) + t1h.sum(dim=dims)
+    dice = 1.0 - (2.0 * inter + smooth_nr) / (denom + smooth_dr)
+    ce = F.cross_entropy(lg, tg.long())
+    return float(dice.mean() + ce)
+
+
+def test_dice_ce_3d_multiclass_matches_monai_transcription(rng):
+    from mri_acl_imagesegmentation_adsp_tpu.train.losses import (
+        dice_ce_loss_3d_multiclass)
+    logits = rng.standard_normal((2, 3, 6, 10, 10)).astype(np.float32) * 2
+    targets = rng.integers(0, 3, size=(2, 6, 10, 10)).astype(np.int32)
+    # make class 2 absent in sample 0: it must STILL be penalized
+    targets[0][targets[0] == 2] = 1
+    want = torch_monai_dice_ce_multiclass(logits, targets)
+    got = float(dice_ce_loss_3d_multiclass(jnp.asarray(logits),
+                                           jnp.asarray(targets)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # absent-class penalty sanity: predicting mass on the absent class
+    # raises the loss (the smp-style masked dice would ignore it)
+    boosted = logits.copy()
+    boosted[0, 2] += 3.0
+    got_boosted = float(dice_ce_loss_3d_multiclass(jnp.asarray(boosted),
+                                                   jnp.asarray(targets)))
+    assert got_boosted > got

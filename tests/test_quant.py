@@ -192,3 +192,22 @@ def test_bottleneck_fold_and_quant():
     eng8, qtree = QuantizedUNet2D.from_model(model, variables, [x])
     out = np.asarray(jax.jit(eng8.apply)(qtree, jnp.asarray(x)))
     assert out.shape == want.shape and np.isfinite(out).all()
+
+
+def test_folded_mode_apply_accepts_folded_tree(trained):
+    """QuantConfig(mode='folded').apply on a fold() tree — the documented
+    full-precision fallback — must equal apply_folded bit-for-bit (it was
+    previously only reachable with int8 qtrees)."""
+    model, variables = trained
+    rng = np.random.default_rng(5)
+    x, _ = _blob_batch(rng, 2)
+
+    eng = QuantizedUNet2D(model.encoder, model.classes,
+                          model.decoder_channels,
+                          QuantConfig(mode="folded",
+                                      compute_dtype=jnp.float32))
+    folded = eng.fold(variables)
+    via_apply = eng.apply(folded, jnp.asarray(x))
+    via_folded = eng.apply_folded(folded, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(via_apply),
+                                  np.asarray(via_folded))

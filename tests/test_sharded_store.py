@@ -206,3 +206,32 @@ def _engine_k1(mesh):
     return Engine(model, LossManager(classes=1, name="dice_bce"),
                   make_optimizer(1e-3, 1e-4, 5.0), classes=1, aug="light",
                   mesh=mesh)
+
+
+def test_volume_affine_tiny_shards_pad_wraps(rng):
+    """A shard shorter than the pad it needs (batch_size > 2x shard len)
+    must wrap-around pad instead of under-filling the (-1, batch) reshape
+    (previously a ValueError)."""
+    host = _uneven_store(rng, sizes=(3, 3))
+    store = host.to_device(k=1)
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    engine = Engine(model, LossManager(classes=1, name="dice_bce"),
+                    make_optimizer(1e-3, 1e-4, 5.0), classes=1, aug="none")
+    state = engine.init_state(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 1), jnp.float32))
+
+    # batch 8, shards of 3 -> pad 5 > shard length 3
+    dice, iou, per_vol = engine.validate_volume_sharded(
+        state, store, host.vol_sizes, n_shards=2, batch_size=8)
+    assert per_vol.shape == (2,)
+    assert np.isfinite(dice) and np.isfinite(iou)
+
+    # oracle: unsharded per-slice eval aggregated per volume
+    n = len(host)
+    idx_mat = jnp.arange(n, dtype=jnp.int32).reshape(n, 1)
+    d_ref, _ = engine._eval_per_slice_c(
+        state.params, state.batch_stats, store.images, store.masks,
+        store.neighbors, idx_mat)
+    d_ref = np.asarray(d_ref).ravel()
+    ref = np.asarray([d_ref[:3].mean(), d_ref[3:].mean()])
+    np.testing.assert_allclose(per_vol, ref, rtol=1e-5, atol=1e-6)

@@ -109,3 +109,37 @@ def test_unet3d_accum_and_cli_surface(packs3d, tmp_path):
     out = UNet3DTrainer(args).fit()
     assert os.path.exists(out["best_ckpt"])
     assert np.isfinite(out["best_val_loss"])
+
+
+def test_knee_npz3d_ragged_volumes_static_shapes(tmp_path, rng):
+    """Volumes smaller than the ROI zero-pad to ONE static patch shape —
+    mixed shapes previously crashed np.stack in batches() and would
+    recompile the jitted step per shape (the reference crashes the same
+    way on real knee corpora with D=64 vs ~36-45 slice volumes)."""
+    files = []
+    for v, s in enumerate((6, 12)):        # one volume shorter than D=8
+        img = rng.standard_normal((s, 1, 24, 24)).astype(np.float32)
+        msk = np.zeros((s, 24, 24), np.uint8)
+        msk[s // 2, 4:20, 4:20] = 1
+        d = tmp_path / f"rv{v}"
+        d.mkdir()
+        np.savez_compressed(d / "volume.npz", img=img, msk=msk)
+        files.append(str(d / "volume.npz"))
+    lst = tmp_path / "rlist.txt"
+    lst.write_text("\n".join(files))
+
+    ds = KneeNPZ3D(str(lst), roi=(16, 16, 8), samples_per_vol=4,
+                   train=True, seed=0)
+    shapes = {ds[i][0].shape for i in range(len(ds))}
+    assert shapes == {(8, 16, 16)}
+    for x, y in ds.batches(4, shuffle=True):    # crossed volumes stack
+        assert x.shape[1:] == (8, 16, 16, 1)
+        assert y.shape[1:] == (8, 16, 16)
+
+
+def test_knee_npz3d_cache_is_bounded(packs3d):
+    ds = KneeNPZ3D(packs3d, roi=(16, 16, 8), samples_per_vol=2,
+                   train=True, seed=0, cache_volumes=1)
+    ds._load(0)
+    ds._load(1)
+    assert len(ds._cache) == 1 and 1 in ds._cache  # LRU evicted volume 0
