@@ -27,6 +27,20 @@ Protocol (stdlib-only on both sides):
                                   ?threshold=0.5 binary cutoff
                            -> .npz bytes {mask uint8 (S,H,W)
                                           [, probs float32 (S,C,H,W)]}
+  POST /v1/segment_kspace  (--task segment) raw k-space in, mask out: the
+                           full on-device preprocess chain (iFFT -> clip
+                           -> Otsu body mask -> resize -> z-score,
+                           data/preprocess.py) runs in front of the model
+                           inside one request.
+                           body: .npz with "kspace" real-pair float32,
+                           (S,H,W,2) single-coil or (S,C,H,W,2) multi-coil
+                           (multi-coil recon = per-coil iFFT + RSS)
+                           query: ?probs / ?threshold as above,
+                                  ?keep=lo,hi slice keep band (default
+                                  0,1 = serve every slice; training used
+                                  0.3,0.7)
+                           -> .npz {mask uint8, body_mask uint8,
+                                    indices int64 [, probs]}
   POST /v1/reconstruct     (--task recon; --ckpt is a varnet_best.ckpt)
                            body: .npz with "kspace" and "espirit"
                            real-pair arrays (coils,aves,h,w,2)
@@ -49,6 +63,7 @@ import io
 import json
 import threading
 import time
+import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -61,18 +76,31 @@ class _ModelRunner:
     task = "segment"
 
     def __init__(self, apply_fn, k: int, classes: int, source: str,
-                 batch_size: int):
+                 batch_size: int, pre_out_size=(320, 320)):
         self.apply_fn = apply_fn
         self.k = k
         self.classes = classes
         self.source = source
         self.batch_size = batch_size
+        # resize target of the /v1/segment_kspace preprocess chain — must
+        # match the resolution the served model was trained at
+        self.pre_out_size = tuple(int(v) for v in pre_out_size)
         self.requests = 0
         self.slices = 0
         self.errors = 0
         self.seconds = 0.0          # cumulative in-lock segmentation time
         self.last_latency_s = 0.0
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # serializes the device
+        self.stats_lock = threading.Lock()   # guards the counters only
+        # preprocessors keyed by slice-keep band: MRIKneePreprocessor's
+        # jitted chain caches on instance identity (static self), so one
+        # instance per band keeps requests compile-free after the first
+        self._pres: dict = {}
+
+    def count_error(self) -> None:
+        """Thread-safe error-counter bump (handler threads race)."""
+        with self.stats_lock:
+            self.errors += 1
 
     def segment(self, vol: np.ndarray, threshold: float,
                 want_probs: bool) -> dict:
@@ -86,10 +114,12 @@ class _ModelRunner:
             probs = segment_volume_2d(self.apply_fn, vol.astype(np.float32),
                                       k=self.k, batch_size=self.batch_size,
                                       classes=self.classes)
-            self.last_latency_s = time.perf_counter() - t0
-            self.seconds += self.last_latency_s
-            self.requests += 1
-            self.slices += int(vol.shape[0])
+            dt = time.perf_counter() - t0
+            with self.stats_lock:
+                self.last_latency_s = dt
+                self.seconds += dt
+                self.requests += 1
+                self.slices += int(vol.shape[0])
         if self.classes == 1:
             mask = (probs[:, 0] > threshold).astype(np.uint8)
         else:
@@ -99,10 +129,60 @@ class _ModelRunner:
             out["probs"] = probs
         return out
 
+    def segment_kspace(self, kpair: np.ndarray, threshold: float,
+                       want_probs: bool,
+                       slice_keep=(0.0, 1.0)) -> dict:
+        """Raw k-space -> preprocess chain -> model, one request.
+
+        The tensor the model sees is EXACTLY what training consumed (the
+        z-scored preprocess output, data/preprocess.py); the response also
+        carries the Otsu body mask and the kept slice indices."""
+        from ..infer import segment_volume_2d
+
+        if kpair.ndim not in (4, 5) or kpair.shape[-1] != 2:
+            raise ValueError(
+                f"kspace must be (S,H,W,2) or (S,C,H,W,2) real-pair, got "
+                f"shape {kpair.shape}")
+        band = tuple(float(v) for v in slice_keep)
+        pre = self._pres.get(band)
+        if pre is None:
+            from ..data.preprocess import MRIKneePreprocessor
+            pre = self._pres.setdefault(
+                band, MRIKneePreprocessor(out_size=self.pre_out_size,
+                                          slice_keep=band))
+        with self._lock:
+            t0 = time.perf_counter()
+            packed = pre.preprocess_volume_pairs(kpair.astype(np.float32))
+            vol = packed["tensor"]                      # (S,1,H,W) z-scored
+            probs = segment_volume_2d(self.apply_fn, vol, k=self.k,
+                                      batch_size=self.batch_size,
+                                      classes=self.classes)
+            dt = time.perf_counter() - t0
+            with self.stats_lock:
+                self.last_latency_s = dt
+                self.seconds += dt
+                self.requests += 1
+                self.slices += int(vol.shape[0])
+        if self.classes == 1:
+            mask = (probs[:, 0] > threshold).astype(np.uint8)
+        else:
+            mask = probs.argmax(axis=1).astype(np.uint8)
+        out = {"mask": mask, "body_mask": packed["mask"],
+               "indices": np.asarray(packed["indices"], np.int64)}
+        if want_probs:
+            out["probs"] = probs
+        return out
+
     def warmup(self, shape) -> None:
         """Pre-compile at the production volume shape (jit is once-per-
-        shape; an un-warmed first request pays the compile)."""
+        shape; an un-warmed first request pays the compile). The warm-up
+        dispatch is NOT a served request — counters are reset afterwards
+        so /healthz + /metricsz start clean (no compile-time poisoning of
+        latency gauges)."""
         self.segment(np.zeros(shape, np.float32), 0.5, False)
+        with self.stats_lock:
+            self.requests = self.slices = 0
+            self.seconds = self.last_latency_s = 0.0
 
 
 class _ReconRunner:
@@ -120,18 +200,13 @@ class _ReconRunner:
         with open(ckpt_path + ".args.json", "r", encoding="utf-8") as f:
             a = json.load(f)
         import jax
-        import jax.numpy as jnp
 
-        from ..recon.varnet import VarNet
-        from ..train.varnet_trainer import combine_directions
+        from ..train.varnet_trainer import (build_varnet_from_args,
+                                            combine_directions)
 
-        self.model = VarNet(
-            bvalue=a.get("bvalue", "b50"),
-            num_cascades=a.get("num_cascades", 12),
-            sens_chans=a.get("sens_chans", 8),
-            sens_pools=a.get("sens_pools", 4),
-            chans=a.get("chans", 18), pools=a.get("pools", 4),
-            dtype=jnp.bfloat16 if a.get("amp", True) else jnp.float32)
+        # the trainer's own construction path — new VarNetArgs fields are
+        # honored here automatically instead of drifting
+        self.model = build_varnet_from_args(a)
         self.ckpt_path = ckpt_path
         self.source = "ckpt"
         self.params = None
@@ -143,6 +218,9 @@ class _ReconRunner:
         self.seconds = 0.0
         self.last_latency_s = 0.0
         self._lock = threading.Lock()
+        self.stats_lock = threading.Lock()
+
+    count_error = _ModelRunner.count_error
 
     def reconstruct(self, kspace: np.ndarray, espirit: np.ndarray) -> dict:
         import jax
@@ -167,10 +245,15 @@ class _ReconRunner:
                 self.params, _ = ckpt_lib.load_best(
                     self.ckpt_path, v["params"], {})
             out = np.asarray(self._fwd(self.params, k, e), np.float32)
-            self.last_latency_s = time.perf_counter() - t0
-            self.seconds += self.last_latency_s
-            self.requests += 1
-            self.slices += int(k.shape[0])
+            dt = time.perf_counter() - t0
+            with self.stats_lock:
+                self.last_latency_s = dt
+                self.seconds += dt
+                self.requests += 1
+                # batch dim = slices: each (coils,aves,h,w,2) element is
+                # ONE slice's multi-coil k-space, so the units of
+                # serve_slices_total match the segment task
+                self.slices += int(k.shape[0])
         return {"recon": out[0] if kspace.ndim == 5 else out}
 
 
@@ -185,6 +268,9 @@ def _build_runner(args):
                              "(a varnet_best.ckpt)")
         return _ReconRunner(args.ckpt)
 
+    pre_out = tuple(int(v) for v in str(
+        getattr(args, "pre_out_size", "") or "320,320").split(","))
+
     if args.qtree:
         from .quantize import load_engine
         eng, qtree, meta = load_engine(args.qtree)
@@ -194,7 +280,7 @@ def _build_runner(args):
             return eng.apply(qtree, norm(x))
 
         return _ModelRunner(apply_fn, meta["k"], meta["classes"], "qtree",
-                            args.batch_size)
+                            args.batch_size, pre_out_size=pre_out)
 
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     norm = make_input_norm(bool(margs.get("imagenet_norm")))
@@ -204,7 +290,8 @@ def _build_runner(args):
                            norm(x), train=False)
 
     return _ModelRunner(apply_fn, margs.get("k", 1),
-                        margs.get("classes", 1), "ckpt", args.batch_size)
+                        margs.get("classes", 1), "ckpt", args.batch_size,
+                        pre_out_size=pre_out)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -257,6 +344,7 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         route = (url.path, self.runner.task)
         if route not in (("/v1/segment", "segment"),
+                         ("/v1/segment_kspace", "segment"),
                          ("/v1/reconstruct", "recon")):
             return self._json(404, {"error": "unknown path for task "
                                              f"{self.runner.task!r}"})
@@ -271,6 +359,18 @@ class _Handler(BaseHTTPRequestHandler):
                             raise ValueError("npz body must contain arrays "
                                              "'kspace' and 'espirit'")
                     out = self.runner.reconstruct(z["kspace"], z["espirit"])
+                elif url.path == "/v1/segment_kspace":
+                    if "kspace" not in z:
+                        raise ValueError(
+                            "npz body must contain array 'kspace'")
+                    threshold = float(q.get("threshold", ["0.5"])[0])
+                    want_probs = q.get("probs", ["0"])[0] in ("1", "true")
+                    keep = q.get("keep", ["0,1"])[0].split(",")
+                    if len(keep) != 2:
+                        raise ValueError("keep must be 'lo,hi'")
+                    out = self.runner.segment_kspace(
+                        z["kspace"], threshold, want_probs,
+                        slice_keep=(float(keep[0]), float(keep[1])))
                 else:
                     if "img" not in z:
                         raise ValueError("npz body must contain array 'img'")
@@ -278,11 +378,12 @@ class _Handler(BaseHTTPRequestHandler):
                     want_probs = q.get("probs", ["0"])[0] in ("1", "true")
                     out = self.runner.segment(z["img"], threshold,
                                               want_probs)
-        except ValueError as exc:
-            self.runner.errors += 1
+        except (ValueError, zipfile.BadZipFile) as exc:
+            # client-input errors (bad npz, missing arrays, bad shapes)
+            self.runner.count_error()
             return self._json(400, {"error": str(exc)})
         except Exception as exc:  # surface device/shape errors to the client
-            self.runner.errors += 1
+            self.runner.count_error()
             return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
         buf = io.BytesIO()
         np.savez_compressed(buf, **out)
@@ -319,6 +420,10 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--pre-out-size", default="320,320",
+                   help="'H,W' resize target for the /v1/segment_kspace "
+                        "preprocess chain — match the resolution the "
+                        "served model was trained at")
     p.add_argument("--warmup-shape", default="",
                    help="'S,H,W' to pre-compile at the production volume "
                         "shape before accepting requests (e.g. 16,320,320); "

@@ -59,7 +59,8 @@ def test_healthz(served):
     assert payload["status"] == "ok"
     assert payload["k"] == 1 and payload["classes"] == 1
     assert payload["source"] == "ckpt"
-    assert payload["requests"] >= 1  # warmup counted
+    # warmup is NOT a served request — counters start clean
+    assert payload["requests"] == 0
 
 
 def test_segment_matches_direct_inference(served):
@@ -98,6 +99,13 @@ def test_bad_requests(served):
     # bad rank -> 400
     try:
         _post_npz(url + "/v1/segment", img=np.zeros((8, 8), np.float32))
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # malformed body (not an npz at all) -> 400, not 500
+    try:
+        req = urllib.request.Request(url + "/v1/segment", data=b"not-a-zip")
+        urllib.request.urlopen(req, timeout=30)
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
@@ -206,7 +214,7 @@ def test_metricsz(served):
         text = r.read().decode()
     metrics = {line.split()[0]: float(line.split()[1])
                for line in text.splitlines() if not line.startswith("#")}
-    assert metrics["serve_requests_total"] >= 2   # warmup + this test
+    assert metrics["serve_requests_total"] >= 2   # earlier tests + this one
     assert metrics["serve_slices_total"] >= 4
     assert metrics["serve_errors_total"] >= 1
     assert metrics["serve_busy_seconds_total"] > 0
@@ -261,6 +269,78 @@ def test_serve_varnet_reconstruction(tmp_path):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.mark.slow
+def test_serve_segment_kspace_end_to_end(tmp_path):
+    """Raw k-space in, mask out: the served /v1/segment_kspace response
+    must equal the direct preprocess-chain + segment_volume_2d path, and
+    the ?keep band must select the same slices the packer would."""
+    import threading as _threading
+    import urllib.error
+    from types import SimpleNamespace as NS
+
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
+        MRIKneePreprocessor)
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 1, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp_path / "best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+    server = create_server(NS(qtree=None, ckpt=ckpt, host="127.0.0.1",
+                              port=0, batch_size=4, warmup_shape="",
+                              pre_out_size="32,32"))
+    thread = _threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        # synthetic single-coil k-space of a blob volume
+        rng = np.random.default_rng(0)
+        img = np.zeros((6, 64, 48), np.float32)
+        img[:, 16:48, 12:36] = 1.0 + 0.1 * rng.standard_normal(
+            (6, 32, 24)).astype(np.float32)
+        ksp = np.fft.fftshift(np.fft.fft2(
+            np.fft.ifftshift(img, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1))
+        pair = np.stack([ksp.real, ksp.imag], -1).astype(np.float32)
+
+        with _post_npz(url + "/v1/segment_kspace?probs=1", kspace=pair) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out["mask"].shape == (6, 32, 32)
+        assert out["body_mask"].shape == (6, 32, 32)
+        assert list(out["indices"]) == list(range(6))
+
+        # oracle: the direct library path (identical chain + model)
+        pre = MRIKneePreprocessor(out_size=(32, 32), slice_keep=(0.0, 1.0))
+        packed = pre.preprocess_volume_pairs(pair)
+        want = segment_volume_2d(
+            lambda x: model.apply(variables, x, train=False),
+            packed["tensor"], k=1, batch_size=4, classes=1)
+        np.testing.assert_allclose(out["probs"], want, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(out["body_mask"], packed["mask"])
+
+        # keep band selects the reference's middle slices
+        with _post_npz(url + "/v1/segment_kspace?keep=0.3,0.7",
+                       kspace=pair) as r:
+            mid = np.load(io.BytesIO(r.read()))
+        assert list(mid["indices"]) == [1, 2, 3]
+        assert mid["mask"].shape == (3, 32, 32)
+
+        # bad keep -> 400
+        try:
+            _post_npz(url + "/v1/segment_kspace?keep=1,0", kspace=pair)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
         server.server_close()
