@@ -45,6 +45,12 @@ Protocol (stdlib-only on both sides):
                            body: .npz with "kspace" and "espirit"
                            real-pair arrays (coils,aves,h,w,2)
                            -> .npz {recon float32 (h,w)}
+  POST /v1/classify        (--task classify; --ckpt is a
+                           classifier_best.ckpt)
+                           body: .npz with "x" (N,H,W,C) float32 slices
+                           (C = the trained stem: 1, or 2 for diff
+                           (b1500, ADC); (N,H,W) accepted when C==1)
+                           -> .npz {probs float32 (N,)} sigmoid scores
 
 Client example:
   buf = io.BytesIO(); np.savez_compressed(buf, img=vol)
@@ -257,16 +263,91 @@ class _ReconRunner:
         return {"recon": out[0] if kspace.ndim == 5 else out}
 
 
+class _ClassifyRunner:
+    """ConvNeXt classification serving (POST /v1/classify).
+
+    Rebuilds the classifier from the args bundled with
+    classifier_best.ckpt (classify/trainer.py:_save_best); parameters
+    load lazily on the first request — ConvNeXt global-pools, so its
+    parameter tree is input-shape-independent."""
+
+    task = "classify"
+
+    def __init__(self, ckpt_path: str):
+        with open(ckpt_path + ".args.json", "r", encoding="utf-8") as f:
+            a = json.load(f)
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.convnext import ConvNeXt
+
+        self.in_chans = 2 if a.get("diff") else 1
+        self.model = ConvNeXt(
+            variant=a.get("model", "tiny"), in_chans=self.in_chans,
+            num_classes=1,
+            dtype=jnp.bfloat16 if a.get("amp", True) else jnp.float32)
+        self.ckpt_path = ckpt_path
+        self.source = "ckpt"
+        self.params = None
+        self._fwd = jax.jit(lambda p, x: jax.nn.sigmoid(
+            self.model.apply({"params": p}, x, train=False)[:, 0]))
+        self.requests = 0
+        self.slices = 0
+        self.errors = 0
+        self.seconds = 0.0
+        self.last_latency_s = 0.0
+        self._lock = threading.Lock()
+        self.stats_lock = threading.Lock()
+
+    count_error = _ModelRunner.count_error
+
+    def classify(self, x: np.ndarray) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from ..train import checkpoint as ckpt_lib
+
+        if x.ndim == 3 and self.in_chans == 1:
+            x = x[..., None]
+        if x.ndim != 4 or x.shape[-1] != self.in_chans:
+            raise ValueError(
+                f"x must be (N,H,W,{self.in_chans}) "
+                f"{'or (N,H,W) ' if self.in_chans == 1 else ''}"
+                f"(model has a {self.in_chans}-channel stem), got shape "
+                f"{x.shape}")
+        xd = jnp.asarray(x, jnp.float32)
+        with self._lock:
+            t0 = time.perf_counter()
+            if self.params is None:
+                v = self.model.init(jax.random.PRNGKey(0), xd[:1])
+                self.params, _ = ckpt_lib.load_best(
+                    self.ckpt_path, v["params"], {})
+            probs = np.asarray(self._fwd(self.params, xd), np.float32)
+            dt = time.perf_counter() - t0
+            with self.stats_lock:
+                self.last_latency_s = dt
+                self.seconds += dt
+                self.requests += 1
+                self.slices += int(x.shape[0])
+        return {"probs": probs}
+
+
 def _build_runner(args):
     import jax.numpy as jnp  # noqa: F401  (ensures backend selected early)
 
     from .infer import load_model_from_ckpt, make_input_norm
 
-    if getattr(args, "task", "segment") == "recon":
+    task = getattr(args, "task", "segment")
+    if task == "recon":
         if not args.ckpt:
             raise ValueError("--task recon requires --ckpt "
                              "(a varnet_best.ckpt)")
         return _ReconRunner(args.ckpt)
+    if task == "classify":
+        if not args.ckpt:
+            raise ValueError("--task classify requires --ckpt "
+                             "(a classifier_best.ckpt)")
+        return _ClassifyRunner(args.ckpt)
 
     pre_out = tuple(int(v) for v in str(
         getattr(args, "pre_out_size", "") or "320,320").split(","))
@@ -345,7 +426,8 @@ class _Handler(BaseHTTPRequestHandler):
         route = (url.path, self.runner.task)
         if route not in (("/v1/segment", "segment"),
                          ("/v1/segment_kspace", "segment"),
-                         ("/v1/reconstruct", "recon")):
+                         ("/v1/reconstruct", "recon"),
+                         ("/v1/classify", "classify")):
             return self._json(404, {"error": "unknown path for task "
                                              f"{self.runner.task!r}"})
         try:
@@ -359,6 +441,10 @@ class _Handler(BaseHTTPRequestHandler):
                             raise ValueError("npz body must contain arrays "
                                              "'kspace' and 'espirit'")
                     out = self.runner.reconstruct(z["kspace"], z["espirit"])
+                elif self.runner.task == "classify":
+                    if "x" not in z:
+                        raise ValueError("npz body must contain array 'x'")
+                    out = self.runner.classify(z["x"])
                 elif url.path == "/v1/segment_kspace":
                     if "kspace" not in z:
                         raise ValueError(
@@ -408,11 +494,14 @@ def create_server(args) -> ThreadingHTTPServer:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("Segmentation/reconstruction serving daemon")
-    p.add_argument("--task", choices=("segment", "recon"), default="segment",
-                   help="segment = 2-D U-Net family (POST /v1/segment); "
-                        "recon = VarNet (POST /v1/reconstruct with "
-                        "{kspace, espirit} real-pair arrays, --ckpt is a "
-                        "varnet_best.ckpt)")
+    p.add_argument("--task", choices=("segment", "recon", "classify"),
+                   default="segment",
+                   help="segment = 2-D U-Net family (POST /v1/segment, "
+                        "/v1/segment_kspace); recon = VarNet (POST "
+                        "/v1/reconstruct with {kspace, espirit} real-pair "
+                        "arrays, --ckpt is a varnet_best.ckpt); classify = "
+                        "ConvNeXt (POST /v1/classify with {x} slices, "
+                        "--ckpt is a classifier_best.ckpt)")
     p.add_argument("--ckpt", help="trained checkpoint (cli.infer format, "
                                   "or varnet_best.ckpt with --task recon)")
     p.add_argument("--qtree", help="quantized artifact from cli.quantize "

@@ -344,3 +344,54 @@ def test_serve_segment_kspace_end_to_end(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+@pytest.mark.slow
+def test_serve_classify(tmp_path):
+    """--task classify serves ConvNeXt sigmoid scores matching the direct
+    forward on the same params (lazy init from the first request)."""
+    from types import SimpleNamespace as NS
+
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.models.convnext import ConvNeXt
+
+    model = ConvNeXt(variant="tiny", in_chans=2, num_classes=1,
+                     dtype=jnp.float32)
+    x0 = jnp.zeros((1, 32, 32, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    ckpt = str(tmp_path / "classifier_best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"], {},
+                       {"model": "tiny", "diff": True, "amp": False})
+
+    server = create_server(NS(task="classify", qtree=None, ckpt=ckpt,
+                              host="127.0.0.1", port=0, batch_size=4,
+                              warmup_shape=""))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["task"] == "classify"
+        x = np.random.default_rng(3).standard_normal(
+            (5, 32, 32, 2)).astype(np.float32)
+        with _post_npz(url + "/v1/classify", x=x) as r:
+            out = np.load(io.BytesIO(r.read()))
+        want = np.asarray(jax.nn.sigmoid(model.apply(
+            variables, jnp.asarray(x), train=False)[:, 0]))
+        np.testing.assert_allclose(out["probs"], want, rtol=1e-5, atol=1e-6)
+
+        # wrong channel count -> 400; segment route -> 404 for this task
+        try:
+            _post_npz(url + "/v1/classify",
+                      x=np.zeros((2, 32, 32, 1), np.float32))
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            _post_npz(url + "/v1/segment", img=np.zeros((2, 32, 32),
+                                                        np.float32))
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
