@@ -78,6 +78,32 @@ def main():
     wall = time.perf_counter() - t0
     served_rate = REQS * S / wall
 
+    # raw k-space endpoint: on-device preprocess chain + model per request
+    img = np.zeros((S, 640, 368), np.float32)
+    img[:, 160:480, 90:280] = 1.0 + 0.2 * rng.standard_normal(
+        (S, 320, 190)).astype(np.float32)
+    ksp = np.fft.fftshift(np.fft.fft2(
+        np.fft.ifftshift(img, axes=(-2, -1)), norm="ortho"), axes=(-2, -1))
+    pair = np.stack([ksp.real, ksp.imag], -1).astype(np.float32)
+    kbuf = io.BytesIO()
+    np.savez_compressed(kbuf, kspace=pair)
+    kbody = kbuf.getvalue()
+    kurl = url.replace("/v1/segment", "/v1/segment_kspace")
+    print(f"kspace body {len(kbody)/1e6:.1f} MB", flush=True)
+    with urllib.request.urlopen(                       # warm (compile)
+            urllib.request.Request(kurl, data=kbody), timeout=1200) as r:
+        np.load(io.BytesIO(r.read()))
+    klat = []
+    t0 = time.perf_counter()
+    for _ in range(max(2, REQS // 2)):
+        t1 = time.perf_counter()
+        with urllib.request.urlopen(
+                urllib.request.Request(kurl, data=kbody), timeout=600) as r:
+            out = np.load(io.BytesIO(r.read()))
+            assert out["mask"].shape == (S, H, W)
+        klat.append(time.perf_counter() - t1)
+    kspace_rate = max(2, REQS // 2) * S / (time.perf_counter() - t0)
+
     # attribution: raw device rate of the same volume (no HTTP/codec)
     from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
 
@@ -94,6 +120,9 @@ def main():
     print(json.dumps({
         "served_slices_per_sec": round(served_rate, 1),
         "served_latency_ms_per_volume": [round(1e3 * v, 1) for v in lat],
+        "served_kspace_slices_per_sec": round(kspace_rate, 1),
+        "served_kspace_latency_ms_per_volume": [round(1e3 * v, 1)
+                                                for v in klat],
         "raw_segment_slices_per_sec": round(raw_rate, 1),
     }), flush=True)
 
