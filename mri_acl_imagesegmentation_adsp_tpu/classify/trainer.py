@@ -68,6 +68,7 @@ class ClassifierArgs:
     model: str = "tiny"            # tiny | convnext
     diff: bool = False             # 2-channel (b1500, ADC) stem
     optimizer: str = "adam"        # sgd | adam
+    amsgrad: bool = False          # adam -> AMSGrad max-of-second-moment
     scheduler: str = "exponentiallr"  # exponentiallr|multistep|cosine|plat|none
     lr: float = 1e-4
     momentum: float = 0.9
@@ -111,6 +112,14 @@ class ClassifierTrainer:
     def _make_tx(self, learning_rate):
         if self.args.optimizer == "sgd":
             return optax.sgd(learning_rate, momentum=self.args.momentum)
+        if self.args.amsgrad:
+            # torch AdamW(amsgrad=True) composition (both vendored YAMLs
+            # ship amsgrad: True): AMSGrad second-moment max, decoupled
+            # weight decay, then the lr scale
+            return optax.chain(
+                optax.scale_by_amsgrad(),
+                optax.add_decayed_weights(self.args.weight_decay),
+                optax.scale_by_learning_rate(learning_rate))
         return optax.adamw(learning_rate,
                            weight_decay=self.args.weight_decay)
 
@@ -132,9 +141,12 @@ class ClassifierTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, logits
 
-    def _eval_step_impl(self, params, x, y):
+    def _eval_step_impl(self, params, x, y, weights):
+        # weights are a traced argument: each split's loss uses ITS OWN
+        # class balance (vendored train_t2.py:91 weighs val loss with
+        # val_loader.dataset.weighted_loss, not the train weights)
         logits = self.model.apply({"params": params}, x, train=False)
-        return weighted_bce_loss(logits, y, self.weights), logits
+        return weighted_bce_loss(logits, y, weights), logits
 
     # ------------------------------------------------------------------
 
@@ -143,6 +155,7 @@ class ClassifierTrainer:
             ds = self.train_ds if train else self.val_ds
         total_loss, nb = 0.0, 0
         outs, labels = [], []
+        eval_w = jnp.asarray(tuple(ds.weights), jnp.float32)
         for x, y in ds.batches(self.args.batch_size, shuffle=train,
                                seed=self.args.seed + self.epoch):
             xb = jnp.asarray(np.moveaxis(x, 1, -1))   # NCHW -> NHWC
@@ -152,11 +165,13 @@ class ClassifierTrainer:
                 self.params, self.opt_state, loss, logits = self._train_step(
                     self.params, self.opt_state, xb, yb)
             else:
-                loss, logits = self._eval_step(self.params, xb, yb)
+                loss, logits = self._eval_step(self.params, xb, yb, eval_w)
             total_loss += float(loss)
             nb += 1
             outs.append(np.asarray(logits).ravel())
             labels.append(np.asarray(y).ravel())
+        if not outs:   # empty split: survive like evaluate()'s n==0 guard
+            return float("nan"), float("nan")
         scores = 1.0 / (1.0 + np.exp(-np.concatenate(outs)))
         labels = np.concatenate(labels)
         try:
@@ -199,9 +214,27 @@ class ClassifierTrainer:
     def evaluate(self, ds, ckpt_path: Optional[str] = None
                  ) -> Dict[str, float]:
         """Loss/AUC of a (saved) model on ``ds`` — the vendored test.py
-        flow: load the checkpoint, run the eval pass on the test split."""
+        flow: load the checkpoint, run the eval pass on the test split.
+
+        When the checkpoint carries an args.json sidecar whose model
+        config differs from this trainer's (e.g. --evaluate on a convnext
+        checkpoint from a tiny-configured CLI), the model is rebuilt from
+        the sidecar so the restore cannot structure-mismatch — the
+        vendored test.py rebuilds from config the same way."""
         if len(ds) == 0:
             return {"loss": float("nan"), "auc": float("nan"), "n": 0}
+        if ckpt_path and os.path.exists(ckpt_path + ".args.json"):
+            with open(ckpt_path + ".args.json", encoding="utf-8") as f:
+                saved = json.load(f)
+            cfg = (saved.get("model", self.args.model),
+                   bool(saved.get("diff", self.args.diff)),
+                   bool(saved.get("amp", self.args.amp)))
+            if cfg != (self.args.model, self.args.diff, self.args.amp):
+                self.model = ConvNeXt(
+                    variant=cfg[0], in_chans=2 if cfg[1] else 1,
+                    num_classes=1,
+                    dtype=jnp.bfloat16 if cfg[2] else jnp.float32)
+                self.params = None
         for x, _ in ds.batches(self.args.batch_size, shuffle=False):
             self._init_if_needed(jnp.asarray(np.moveaxis(x, 1, -1)))
             break

@@ -45,10 +45,15 @@ def _args_from_yaml(path: str, mode: str, seed: int) -> ClassifierArgs:
     sched = str(m.get("scheduler", "exponentiallr")).lower()
     if sched not in ("exponentiallr", "multistep", "cosine", "plat", "none"):
         raise ValueError(f"unknown scheduler {sched!r}")
+    model = str(m.get("model", "convnext")).lower()
+    if model not in ("tiny", "convnext"):
+        raise ValueError(f"unknown model {model!r}")
     return ClassifierArgs(
         out_dir=out_dir,
+        model=model,
         diff=(mode == "dwi"),
         optimizer=str(m.get("optimizer", "adam")).lower(),
+        amsgrad=bool(m.get("amsgrad", False)),
         scheduler=sched,
         lr=float(m.get("lr", 1e-4)),
         momentum=float(m.get("momentum", 0.9)),
@@ -102,7 +107,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default 8; with --config-file the vendored "
+                        "DataLoaders' hard-coded 32")
     p.add_argument("--patience", type=int, default=7)
     p.add_argument("--norm-type", type=int, default=2,
                    help="T2 normalisation scheme 1-4 (vendored norm_type)")
@@ -127,8 +134,11 @@ def main(argv: Optional[list] = None) -> int:
         datapath = args.data_path or d.get("data_location")
         norm_type = int(d.get("norm_type", args.norm_type))
         augment = bool(cfg.get("training", {}).get("augment", args.augment))
-        cargs.model = args.model
-        cargs.batch_size = args.batch_size
+        # the YAML wins for the model (vendored selects it by
+        # model_args.model, model.py:23-30); batch defaults to the
+        # vendored DataLoaders' hard-coded 32 unless the flag was given
+        cargs.batch_size = (args.batch_size if args.batch_size is not None
+                            else 32)
         cargs.amp = args.amp
     else:
         cargs = ClassifierArgs(
@@ -136,7 +146,8 @@ def main(argv: Optional[list] = None) -> int:
             optimizer=args.optimizer, scheduler=args.scheduler, lr=args.lr,
             momentum=args.momentum, weight_decay=args.weight_decay,
             gamma=args.gamma, lr_decay_steps=tuple(args.lr_decay_steps),
-            epochs=args.epochs, batch_size=args.batch_size,
+            epochs=args.epochs,
+            batch_size=args.batch_size if args.batch_size is not None else 8,
             patience=args.patience, seed=seed, amp=args.amp)
         datasheet, datapath = args.datasheet, args.data_path
         norm_type, augment = args.norm_type, args.augment

@@ -98,6 +98,11 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     vol = jnp.asarray(volume)
     if vol.ndim == 4:
         vol = vol[:, 0]
+    if vol.shape[0] == 0:
+        raise ValueError("empty volume (0 slices)")
+    if k % 2 != 1:
+        raise ValueError(f"k must be odd (2.5-D stacks k//2 neighbors per "
+                         f"side, dataio semantics); got k={k}")
     x = _neighbor_stack(vol, k)              # (S,H,W,k)
     s = x.shape[0]
     batch_size = min(batch_size, s)

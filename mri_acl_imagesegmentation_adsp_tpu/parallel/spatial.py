@@ -51,65 +51,26 @@ def _exchange_depth_halos(xl: jnp.ndarray, axis: str, halo: int):
     return from_prev, from_next
 
 
-def conv3d_depth_sharded(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
-                         axis: str = "data") -> jnp.ndarray:
-    """SAME NDHWC conv3d with the volume sharded along depth over ``axis``.
-
-    ``x``: (N, D, H, W, Cin) with D divisible by the mesh axis size;
-    ``kernel``: (kd, kh, kw, Cin, Cout) with odd kd (the depth halo is
-    (kd-1)/2 planes per side). Equals the unsharded
-    ``lax.conv_general_dilated(..., "SAME")`` exactly; each shard computes
-    only its depth band and the halos move point-to-point over ICI.
-    """
-    kd = kernel.shape[0]
-    if kd % 2 != 1:
-        raise ValueError("kernel depth must be odd for SAME halo sharding")
-    halo = (kd - 1) // 2
-    nsh = mesh.shape[axis]
-    if x.shape[1] % nsh:
-        raise ValueError(f"depth {x.shape[1]} not divisible by {nsh} shards")
-    if halo and x.shape[1] // nsh < halo:
-        raise ValueError("local depth band smaller than the halo")
-
-    def local(xl, k):
-        if halo:
-            prev_p, next_p = _exchange_depth_halos(xl, axis, halo)
-            xl = jnp.concatenate([prev_p, xl, next_p], axis=1)
-        # depth VALID over the haloed band == SAME on the global volume;
-        # H/W stay SAME-padded locally (they are not sharded)
-        hw_pad = [(kernel.shape[1] // 2,) * 2, (kernel.shape[2] // 2,) * 2]
-        return lax.conv_general_dilated(
-            xl, k, (1, 1, 1), [(0, 0)] + hw_pad,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, axis), P()),
-                   out_specs=P(None, axis))
-    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
-    return fn(xs, kernel)
+# jitted shard_map programs keyed by (mesh, axis, per-layer halos): the
+# cached closure pins the mesh alive, jit's own cache handles shape/dtype
+# variation, and repeat calls are one dispatch instead of a per-op eager
+# replay (this backend pays ~18 ms per dispatch — infer/segment.py:56-58)
+_JITTED_STACKS: dict = {}
 
 
-def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
-                               axis: str = "data") -> jnp.ndarray:
-    """Run a stack of SAME conv3d (+ReLU between) layers depth-sharded.
-
-    One jitted shard_map region: halos are exchanged per layer (each conv
-    consumes one fresh halo ring) while the band itself never leaves its
-    chip — the communication per layer is 2 planes/shard however deep the
-    stack is. Demonstrates the production pattern for whole-volume 3-D
-    feature extraction beyond single-chip HBM."""
-    halos = [(k.shape[0] - 1) // 2 for k in kernels]
-    nsh = mesh.shape[axis]
-    if x.shape[1] % nsh:
-        raise ValueError(f"depth {x.shape[1]} not divisible by {nsh} shards")
-    if any(h and x.shape[1] // nsh < h for h in halos):
-        raise ValueError("local depth band smaller than a layer's halo")
+def _stack_fn(mesh: Mesh, axis: str, halos: tuple):
+    key = (id(mesh), axis, halos)
+    fn = _JITTED_STACKS.get(key)
+    if fn is not None:
+        return fn
 
     def local(xl, *ks):
         for i, k in enumerate(ks):
             if halos[i]:
                 prev_p, next_p = _exchange_depth_halos(xl, axis, halos[i])
                 xl = jnp.concatenate([prev_p, xl, next_p], axis=1)
+            # depth VALID over the haloed band == SAME on the global
+            # volume; H/W stay SAME-padded locally (they are not sharded)
             hw_pad = [(k.shape[1] // 2,) * 2, (k.shape[2] // 2,) * 2]
             xl = lax.conv_general_dilated(
                 xl, k, (1, 1, 1), [(0, 0)] + hw_pad,
@@ -118,8 +79,57 @@ def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
                 xl = jnp.maximum(xl, 0)          # ReLU between layers
         return xl
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, axis),) + (P(),) * len(kernels),
-                   out_specs=P(None, axis))
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(None, axis),) + (P(),) * len(halos),
+                           out_specs=P(None, axis)))
+    _JITTED_STACKS[key] = fn
+    return fn
+
+
+def _validate(x, kernels, mesh, axis):
+    halos = []
+    for k in kernels:
+        kd, kh, kw = k.shape[0], k.shape[1], k.shape[2]
+        if kd % 2 != 1:
+            raise ValueError("kernel depth must be odd for SAME halo "
+                             "sharding")
+        if kh % 2 != 1 or kw % 2 != 1:
+            raise ValueError("kernel H/W must be odd (symmetric local "
+                             "padding == SAME); got "
+                             f"{(kd, kh, kw)}")
+        halos.append((kd - 1) // 2)
+    nsh = mesh.shape[axis]
+    if x.shape[1] % nsh:
+        raise ValueError(f"depth {x.shape[1]} not divisible by {nsh} shards")
+    if any(h and x.shape[1] // nsh < h for h in halos):
+        raise ValueError("local depth band smaller than a layer's halo")
+    return tuple(halos)
+
+
+def conv3d_depth_sharded(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
+                         axis: str = "data") -> jnp.ndarray:
+    """SAME NDHWC conv3d with the volume sharded along depth over ``axis``.
+
+    ``x``: (N, D, H, W, Cin) with D divisible by the mesh axis size;
+    ``kernel``: (kd, kh, kw, Cin, Cout), all spatial dims odd (the depth
+    halo is (kd-1)/2 planes per side). Equals the unsharded
+    ``lax.conv_general_dilated(..., "SAME")`` exactly; each shard computes
+    only its depth band and the halos move point-to-point over ICI.
+    """
+    return conv3d_stack_depth_sharded(x, [kernel], mesh, axis)
+
+
+def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
+                               axis: str = "data") -> jnp.ndarray:
+    """Run a stack of SAME conv3d (+ReLU between) layers depth-sharded.
+
+    One jitted shard_map region (cached per (mesh, axis, halos)): halos
+    are exchanged per layer (each conv consumes one fresh halo ring) while
+    the band itself never leaves its chip — the communication per layer is
+    2 planes/shard however deep the stack is. Demonstrates the production
+    pattern for whole-volume 3-D feature extraction beyond single-chip
+    HBM."""
+    halos = _validate(x, kernels, mesh, axis)
+    fn = _stack_fn(mesh, axis, halos)
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     return fn(xs, *kernels)

@@ -146,8 +146,12 @@ def test_train_classify_cli_yaml_and_evaluate(classification_data, tmp_path,
 
     sheet, root = classification_data
     cfg = {
-        "model_args": {"patience": 3, "rundir": "t2cli",
-                       "optimizer": "adam", "scheduler": "multistep",
+        # model + amsgrad are honored from the YAML (vendored schema keys;
+        # both shipped configs set amsgrad: True) — without "model": tiny
+        # the schema default is convnext (Base), the vendored default
+        "model_args": {"model": "tiny", "patience": 3, "rundir": "t2cli",
+                       "optimizer": "adam", "amsgrad": True,
+                       "scheduler": "multistep",
                        "gamma": 0.5, "lr_decay_steps": [1],
                        "lr": 1e-4, "weight_decay": 1e-4},
         "data": {"datasheet": sheet, "data_location": root, "norm_type": 2},
