@@ -208,6 +208,7 @@ def _engine_k1(mesh):
                   mesh=mesh)
 
 
+@pytest.mark.slow  # compiles two eval jits; the pad math itself is trivial
 def test_volume_affine_tiny_shards_pad_wraps(rng):
     """A shard shorter than the pad it needs (batch_size > 2x shard len)
     must wrap-around pad instead of under-filling the (-1, batch) reshape
@@ -235,3 +236,32 @@ def test_volume_affine_tiny_shards_pad_wraps(rng):
     d_ref = np.asarray(d_ref).ravel()
     ref = np.asarray([d_ref[:3].mean(), d_ref[3:].mean()])
     np.testing.assert_allclose(per_vol, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_accum_composes_with_mesh(rng):
+    """Gradient accumulation inside the SHARDED epoch scan: the mesh run
+    (batch sharded over 8 devices, sharded store) must match the
+    single-device run — same microbatch losses, same updated params up to
+    cross-device reduction order."""
+    host = _uneven_store(rng, sizes=(8, 8))
+    results = []
+    for mesh in (make_mesh(8), None):
+        store = host.to_device(k=1, mesh=mesh, shard=mesh is not None)
+        model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+        eng = Engine(model, LossManager(classes=1, name="dice_bce"),
+                     make_optimizer(1e-3, 1e-4, 5.0), classes=1,
+                     aug="none", mesh=mesh, accum_steps=2)
+        st = eng.init_state(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 1), jnp.float32))
+        perm = jnp.arange(16, dtype=jnp.int32).reshape(2, 8)  # 1 update
+        st, losses, _ = eng.train_one_epoch(st, store, perm,
+                                            jax.random.PRNGKey(2),
+                                            dataset_len=16)
+        assert int(np.asarray(st.step)) == 1
+        leaf = np.asarray(jax.tree.leaves(st.params)[0])
+        results.append((np.asarray(losses), leaf))
+    np.testing.assert_allclose(results[0][0], results[1][0],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=1e-4, atol=1e-6)
