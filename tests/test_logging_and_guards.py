@@ -138,6 +138,7 @@ def test_tb_logger_degrades_without_torch(tmp_path, monkeypatch):
 # Gradient accumulation (Engine accum_steps)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # two epoch compiles (~12 s); the guard test stays fast
 def test_accum_grads_match_big_batch(rng):
     """accum_steps=N with batch B must produce the SAME optimizer update as
     one step at batch N*B when the loss is sample-decomposable (ce is a

@@ -194,6 +194,7 @@ def test_bottleneck_fold_and_quant():
     assert out.shape == want.shape and np.isfinite(out).all()
 
 
+@pytest.mark.slow  # extra folded-forward compile; exactness re-runs in full CI
 def test_folded_mode_apply_accepts_folded_tree(trained):
     """QuantConfig(mode='folded').apply on a fold() tree — the documented
     full-precision fallback — must equal apply_folded bit-for-bit (it was
