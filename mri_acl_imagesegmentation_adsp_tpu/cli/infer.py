@@ -48,18 +48,10 @@ def load_model_from_ckpt(ckpt_path: str):
     return model, params, batch_stats, args
 
 
-def make_input_norm(imagenet_norm: bool):
-    """The trainer's input transform (trainer._input_transform): replicate
-    1->3 channels, then per-encoder-channel mean/std normalize."""
-    def norm(x):
-        if imagenet_norm:
-            if x.shape[-1] == 1:
-                x = jnp.repeat(x, 3, axis=-1)
-            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
-            x = (x - mean) / std
-        return x
-    return norm
+# the canonical transform lives in utils/imagenet.py (shared with the
+# trainer so training and serving cannot desynchronize); re-exported here
+# because cli.serve/cli.quantize import it from this module
+from ..utils.imagenet import make_input_norm  # noqa: E402,F401
 
 
 def main(argv=None) -> int:
@@ -89,6 +81,17 @@ def main(argv=None) -> int:
     if args.qtree:
         from .quantize import load_engine
         eng, qtree, meta = load_engine(args.qtree)
+        if args.quant != "none" and args.quant != meta["mode"]:
+            # an explicit --quant overrides the artifact's baked mode
+            # (e.g. --quant folded on an int8 qtree = weight-only-dequant
+            # sanity numerics); it was silently ignored before
+            from ..infer.quant import QuantConfig, QuantizedUNet2D
+            eng = QuantizedUNet2D(
+                meta["encoder"], meta["classes"],
+                tuple(meta["decoder_channels"]),
+                QuantConfig(mode=args.quant,
+                            compute_dtype=eng.config.compute_dtype),
+                arch=meta["arch"])
         k, classes = meta["k"], meta["classes"]
         norm = make_input_norm(meta["imagenet_norm"])
 
@@ -131,6 +134,10 @@ def main(argv=None) -> int:
 def _run(args, apply_fn, k: int, classes: int) -> int:
     out_root = Path(args.out_dir)
     out_root.mkdir(parents=True, exist_ok=True)
+    if args.metrics and classes != 1:
+        print("[infer] WARNING: --metrics computes binary Dice/IoU/HD95/"
+              "ASSD and is skipped for multiclass checkpoints "
+              f"(classes={classes})")
     summary = []
     for path in read_list(args.list_txt):
         with np.load(path) as z:

@@ -58,6 +58,12 @@ def main(argv=None) -> int:
     p.add_argument("--calib-batch-size", type=int, default=16)
     args = p.parse_args(argv)
 
+    # canonical artifact path: np.savez appends .npz to the data file, so
+    # normalize up front or the meta sidecar lands at a name load_engine
+    # can never pair with the data under any --qtree spelling
+    if not args.out.endswith(".npz"):
+        args.out += ".npz"
+
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     if margs.get("model", "unet") not in ("unet", "unetpp"):
         raise SystemExit("quantize supports the unet/unetpp families")
@@ -89,8 +95,11 @@ def main(argv=None) -> int:
 
 
 def load_engine(qtree_path: str):
-    """Rebuild (engine, qtree) from an exported artifact + its sidecar."""
+    """Rebuild (engine, qtree) from an exported artifact + its sidecar.
+    Accepts the path with or without the .npz suffix."""
     from ..infer.quant import load_qtree
+    if not qtree_path.endswith(".npz"):
+        qtree_path += ".npz"
     with open(qtree_path + ".meta.json", "r", encoding="utf-8") as f:
         meta = json.load(f)
     eng = QuantizedUNet2D(

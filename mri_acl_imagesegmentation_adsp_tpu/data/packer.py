@@ -65,12 +65,17 @@ def save_pack(out_dir: str, pack: Dict[str, Any], preview_max: int = 8) -> None:
     pv_dir = os.path.join(out_dir, "preview")
     os.makedirs(pv_dir, exist_ok=True)
     take = min(preview_max, prev.shape[0])
+    # missing/short 'indices' is legal (the indices.json write above uses
+    # pack.get) — fall back to positional numbering rather than KeyError
+    # mid-write on the packer's writer thread
+    indices = list(pack.get("indices", []))
     try:
         from PIL import Image
         for i in range(take):
             arr = np.clip(prev[i] * 255.0, 0, 255).astype(np.uint8)
+            sid = indices[i] if i < len(indices) else i
             Image.fromarray(arr).save(
-                os.path.join(pv_dir, f"slice_{pack['indices'][i]:03d}.png"))
+                os.path.join(pv_dir, f"slice_{sid:03d}.png"))
     except ImportError:
         pass
 

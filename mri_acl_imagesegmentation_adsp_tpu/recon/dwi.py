@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .grappa import Grappa
@@ -96,8 +97,15 @@ def get_grid_mat(epi_params: Dict, os_factor: float = 2,
 def _regrid_pair_device(k_pair: jnp.ndarray,
                         grid_mat: np.ndarray) -> jnp.ndarray:
     """Regrid a (..., ro, pe, 2) real-pair stack along the readout axis:
-    one MXU matmul for the whole stack (both pair components share it)."""
-    return jnp.einsum("or,...rpt->...opt", jnp.asarray(grid_mat), k_pair)
+    one MXU matmul for the whole stack (both pair components share it).
+
+    HIGHEST precision, like every other numerics-parity matmul in the
+    recon chain (ops/fftc.py, grappa.py): at DEFAULT the TPU rounds the
+    f32 operands through bf16, and this matmul feeds the GRAPPA solves,
+    iFFT and ADC/b1500 fits — a ~1e-2 relative error CPU tests can never
+    see (CPU default precision is exact)."""
+    return jnp.einsum("or,...rpt->...opt", jnp.asarray(grid_mat), k_pair,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def trapezoidal_regridding(img: np.ndarray, epi_params: Dict) -> np.ndarray:

@@ -201,14 +201,35 @@ class Grappa:
         the batched path — see compute_weights_batch)."""
         return self.compute_weights_batch(np.asarray(calib)[None])[0]
 
-    def compute_weights_batch(self, calibs: np.ndarray
-                              ) -> list:
+    def compute_grams(self, calibs: np.ndarray) -> np.ndarray:
+        """Host (S, KC, KC) Gram matrices of the padded ACS window
+        matrices. Geometry-INDEPENDENT (a function of the calibration
+        data and kernel_size only), so one result can be shared across
+        Grappa objects with different sampling geometries — t2.py builds
+        one object per average geometry over the SAME calibration, and
+        without sharing it would upload the ACS and run the heavyweight
+        Gram einsum twice per case."""
+        calibs = np.asarray(calibs)
+        elem_rank = calibs.ndim - 1
+        ax = 1 + (self.coil_axis % elem_rank)
+        calibs = np.moveaxis(calibs, ax, -1)            # (S, X, Y, nc)
+        kx, ky = self.kernel_size
+        kx2, ky2 = kx // 2, ky // 2
+        padded = np.pad(calibs, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0)),
+                        mode="constant")
+        return np.asarray(to_complex(_gram_stack(
+            to_pair_device(padded), kx, ky)))           # (S, KC, KC)
+
+    def compute_weights_batch(self, calibs: np.ndarray,
+                              grams: np.ndarray = None) -> list:
         """Per-geometry weights for a STACK of calibration slices in a
         fixed number of device dispatches (2), independent of slice count.
 
         calibs: (S, ...) where each element matches compute_weights input
         (coil axis at ``self.coil_axis`` of the ELEMENT). Returns a list of
-        S weight dicts {geometry_id: (nc, ns) complex}.
+        S weight dicts {geometry_id: (nc, ns) complex}. Pass ``grams`` (a
+        prior ``compute_grams(calibs)`` result) to skip re-deriving the
+        geometry-independent Gram stack.
 
         TPU formulation: every geometry's normal equations are submatrices
         of ONE Gram matrix G_s = W_s^H W_s over the full (kx*ky*nc)-column
@@ -223,6 +244,8 @@ class Grappa:
         re-touches the ACS for every geometry of every slice.
         """
         calibs = np.asarray(calibs)
+        if grams is None:
+            grams = self.compute_grams(calibs)          # (S, KC, KC)
         elem_rank = calibs.ndim - 1
         ax = 1 + (self.coil_axis % elem_rank)
         calibs = np.moveaxis(calibs, ax, -1)            # (S, X, Y, nc)
@@ -230,10 +253,6 @@ class Grappa:
         kx, ky = self.kernel_size
         kx2, ky2 = kx // 2, ky // 2
         nc = calibs.shape[-1]
-        padded = np.pad(calibs, ((0, 0), (kx2, kx2), (ky2, ky2), (0, 0)),
-                        mode="constant")
-        grams = np.asarray(to_complex(_gram_stack(
-            to_pair_device(padded), kx, ky)))           # (S, KC, KC)
 
         valid = self.kernel_var_dict["patch_indices"]
         if len(valid) == 0:

@@ -42,19 +42,29 @@ def get_padding(hdr: str) -> float:
         return (int(enc.text) - (int(lim.text) + 1)) / 2
     except Exception:
         m = re.findall(r"<x>(\d+)</x>", hdr)
-        mm = re.findall(r"<maximum>(\d+)</maximum>", hdr)
+        # scope the <maximum> to the PE limits block: a full ISMRMRD
+        # header lists kspace_encoding_step_0 (readout) first, so the
+        # document-first <maximum> would be the WRONG axis
+        mm = re.findall(
+            r"kspace_encoding_step_1.*?<maximum>(\d+)</maximum>", hdr,
+            re.S)
         if m and mm:
             return (float(m[0]) - (float(mm[0]) + 1)) / 2
         raise ValueError("Could not parse padding from header")
 
 
-def zero_pad_kspace(kspace: np.ndarray, padding: float) -> np.ndarray:
-    """Pad the last (PE) axis; odd totals get the extra zero on the right
-    (reference mri_data.py:151-160)."""
+def pad_split(padding: float) -> Tuple[int, int]:
+    """(left, right) PE zero-pad split: odd totals put the extra zero on
+    the right (reference mri_data.py:151-160). Shared by the host helper
+    and the device pipeline so the rule cannot drift."""
     if padding % 2 != 0:
-        left, right = int(np.floor(padding)), int(np.ceil(padding))
-    else:
-        left = right = int(padding)
+        return int(np.floor(padding)), int(np.ceil(padding))
+    return int(padding), int(padding)
+
+
+def zero_pad_kspace(kspace: np.ndarray, padding: float) -> np.ndarray:
+    """Pad the last (PE) axis (reference mri_data.py:151-160)."""
+    left, right = pad_split(padding)
     pad = [(0, 0)] * (kspace.ndim - 1) + [(left, right)]
     return np.pad(kspace, pad)
 
@@ -94,10 +104,15 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
                           kernel_size=(5, 5), coil_axis=1)
 
     # ALL per-slice weight solves batch into two fixed-dispatch device
-    # calls (one per sampling geometry), not a host loop over slices.
+    # calls (one per sampling geometry), not a host loop over slices. The
+    # Gram stack is geometry-independent, so ONE ACS upload + einsum
+    # serves both geometries.
     calib_stack = np.transpose(calib_data, (0, 3, 1, 2))  # (S, pe, C, ro)
-    wd = dict(enumerate(grappa_obj.compute_weights_batch(calib_stack)))
-    wd2 = dict(enumerate(grappa_obj_2.compute_weights_batch(calib_stack)))
+    grams = grappa_obj.compute_grams(calib_stack)
+    wd = dict(enumerate(
+        grappa_obj.compute_weights_batch(calib_stack, grams=grams)))
+    wd2 = dict(enumerate(
+        grappa_obj_2.compute_weights_batch(calib_stack, grams=grams)))
 
     if hdr is None:
         padding = 0.0
@@ -139,10 +154,7 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     k_post = jnp.transpose(k_post, (0, 1, 3, 4, 2, 5))  # (3, S, C, ro, pe, 2)
 
     if padding:
-        if padding % 2 != 0:
-            left, right = int(np.floor(padding)), int(np.ceil(padding))
-        else:
-            left = right = int(padding)
+        left, right = pad_split(padding)
         k_post = jnp.pad(k_post, [(0, 0)] * 4 + [(left, right), (0, 0)])
 
     img = ifftnd_scaled(k_post, [-2, -1])          # centered iFFT (ro, pe)

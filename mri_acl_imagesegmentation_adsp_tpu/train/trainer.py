@@ -42,8 +42,7 @@ from ..data.hbm_loader import (
     SliceStore, epoch_permutation, gather_batch,
 )
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+from ..utils.imagenet import make_input_norm  # one definition, train == serve
 
 
 @dataclass
@@ -174,14 +173,11 @@ class UNet2DTrainer:
         return self.args.k
 
     def _input_transform(self):
+        # applied post-augment (reference order, datasets.py:128-131);
+        # the transform itself is the shared utils/imagenet definition
         if not self.args.imagenet_norm:
             return None
-
-        def transform(x):  # x (B,H,W,C) post-augment
-            if x.shape[-1] == 1:
-                x = jnp.repeat(x, 3, axis=-1)
-            return (x - _IMAGENET_MEAN) / _IMAGENET_STD
-        return transform
+        return make_input_norm(True)
 
     def _build_engine(self) -> None:
         from ..models import build_unet

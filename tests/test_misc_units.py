@@ -221,3 +221,25 @@ def test_launcher_forwarded_fields_contract():
         assert name in arg_fields, f"UNet2DArgs has no field {name}"
     # the TPU remat lever is part of the forwarded surface
     assert "remat" in _FORWARDED_TRAIN_FIELDS
+
+
+def test_shared_imagenet_norm_definition():
+    """Training and serving must build the ImageNet input transform from
+    ONE definition (utils/imagenet.py) — duplicated constants silently
+    desynchronize train and serve."""
+    import jax.numpy as jnp
+    from mri_acl_imagesegmentation_adsp_tpu.utils.imagenet import (
+        make_input_norm as canonical)
+    from mri_acl_imagesegmentation_adsp_tpu.cli.infer import (
+        make_input_norm as from_cli)
+    from mri_acl_imagesegmentation_adsp_tpu.train import trainer as tr
+
+    assert from_cli is canonical
+    assert tr.make_input_norm is canonical
+    x = jnp.ones((2, 4, 4, 1), jnp.float32)
+    y = canonical(True)(x)
+    assert y.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(y[..., 0]),
+                               (1.0 - 0.485) / 0.229, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(canonical(False)(x)),
+                                  np.asarray(x))
