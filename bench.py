@@ -267,6 +267,25 @@ def bench_grappa(slices: int = 10, coils: int = 20, ro: int = 640,
 
 
 def main() -> None:
+    # Watchdog: this environment's TPU relay has multi-hour outages during
+    # which any device op hangs forever (no error). A hung bench leaves the
+    # driver with NO artifact; a watchdog line is strictly more informative.
+    # Daemonized, so a normal finish exits unimpeded.
+    import os as _os
+    import threading
+
+    def _watchdog():
+        time.sleep(2400)  # 40 min >> a full healthy run incl. cold compiles
+        print(json.dumps({
+            "metric": "unet2d_infer_slices_per_sec_per_chip",
+            "value": 0.0, "unit": "slices/s", "vs_baseline": 0.0,
+            "extras": {"error": "watchdog: bench exceeded 40 min "
+                                "(TPU relay unreachable?)"},
+        }), flush=True)
+        _os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from mri_acl_imagesegmentation_adsp_tpu.utils.compile_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
