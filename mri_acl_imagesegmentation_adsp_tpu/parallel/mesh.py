@@ -33,6 +33,21 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def make_recon_mesh(n_data: int, n_coil: int,
+                    axes: Tuple[str, str] = ("data", "coil")) -> Mesh:
+    """2-D (data, coil) mesh for tensor-parallel VarNet reconstruction.
+
+    Batch shards over ``axes[0]``, the coil dimension of k-space /
+    sensitivity maps over ``axes[1]`` (recon.varnet.VarNet mesh layout).
+    On real hardware place the coil axis on the mesh minor dim so the
+    per-cascade coil-combine psum rides nearest-neighbor ICI links."""
+    devs = jax.devices()
+    need = n_data * n_coil
+    if len(devs) < need:
+        raise ValueError(f"requested {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_coil), axes)
+
+
 # ---------------------------------------------------------------------------
 # Multi-host (DCN) path — SURVEY.md §2.2/§5.8: jax.distributed.initialize +
 # a process-aware mesh whose outer axis crosses hosts (collectives on it ride
@@ -99,6 +114,27 @@ def make_multihost_mesh(axes: Tuple[str, str] = ("hosts", "data")) -> Mesh:
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def divisible_spec(mesh: Mesh, shape: Sequence[int], spec: P) -> P:
+    """``spec`` with axis names dropped from dims they do not divide.
+
+    GSPMD requires every sharded dim to divide evenly by its mesh-axis
+    extent; a dim that does not (a batch-1 init probe on a 2-way data
+    axis, 6 coils on a 4-way coil axis) falls back to replication on that
+    dim — numerically identical, just less parallel. Tuple entries
+    (multi-axis dims) are kept only if the dim divides the full product.
+    """
+    size = dict(zip(mesh.axis_names, mesh.devices.shape))
+    out = []
+    for i, entry in enumerate(spec):
+        if entry is None or i >= len(shape):
+            out.append(None)
+            continue
+        names = entry if isinstance(entry, tuple) else (entry,)
+        total = int(np.prod([size[n] for n in names]))
+        out.append(entry if shape[i] % total == 0 else None)
+    return P(*out)
 
 
 def shard_batch_spec(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:

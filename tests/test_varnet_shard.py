@@ -1,0 +1,222 @@
+"""Coil-sharded tensor-parallel VarNet == the single-device oracle.
+
+The multi-chip VarNet layout (recon/varnet.py VarNet docstring): a 2-D
+(data, coil) mesh shards the batch over "data" (the vendored DDP analogue,
+zip!DL_reconstruction/train_varnet_prostate.py:80-82) and the coil dim of
+k-space / ESPIRiT / sensitivity maps / cascade state over "coil" — the
+per-coil DFT matmuls and soft-DC chains run on local shards, and the only
+per-cascade collective is the coil-combine psum in sens_reduce_parts.
+Sharding may only change reduction order, so every number here is held to
+the unsharded program within float tolerance on the 8-virtual-device CPU
+mesh (conftest.py).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mri_acl_imagesegmentation_adsp_tpu.recon import VarNet
+from mri_acl_imagesegmentation_adsp_tpu.parallel import make_recon_mesh
+from mri_acl_imagesegmentation_adsp_tpu.parallel.mesh import divisible_spec
+
+B, C, A, H, W = 2, 8, 2, 16, 16
+
+
+def _tiny_varnet(mesh=None) -> VarNet:
+    return VarNet(bvalue="b50", num_cascades=2, sens_chans=4, sens_pools=2,
+                  chans=4, pools=2, mesh=mesh)
+
+
+def _inputs(rng):
+    k = jnp.asarray(rng.standard_normal((B, C, A, H, W, 2)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((B, C, A, H, W, 2)), jnp.float32)
+    return k, e
+
+
+def _place(mesh, k, e):
+    def put(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, divisible_spec(mesh, x.shape, P("data", "coil"))))
+    return put(k), put(e)
+
+
+def test_recon_mesh_shape():
+    mesh = make_recon_mesh(2, 4)
+    assert mesh.axis_names == ("data", "coil")
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_recon_mesh(4, 4)  # needs 16 devices, virtual mesh has 8
+
+
+def test_coil_tp_forward_matches_unsharded(rng):
+    k, e = _inputs(rng)
+    ref_model = _tiny_varnet()
+    variables = ref_model.init(jax.random.PRNGKey(0), k, e)
+    want = np.asarray(jax.jit(ref_model.apply)(variables, k, e))
+
+    mesh = make_recon_mesh(2, 4)
+    tp_model = _tiny_varnet(mesh)
+    # mesh attributes add no parameters: the trees are interchangeable
+    ks, es = _place(mesh, k, e)
+    got = np.asarray(jax.jit(tp_model.apply)(variables, ks, es))
+    assert got.shape == (B, A, H, W)
+    # only the coil-sum reduction order may differ (8-term f32 sums)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_coil_tp_grads_match_unsharded(rng):
+    k, e = _inputs(rng)
+    ref_model = _tiny_varnet()
+    variables = ref_model.init(jax.random.PRNGKey(1), k, e)
+
+    def make_loss(model):
+        def loss(v, kk, ee):
+            out = model.apply(v, kk, ee)
+            return jnp.mean(out * out)
+        return loss
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(make_loss(ref_model)))(
+        variables, k, e)
+
+    mesh = make_recon_mesh(2, 4)
+    tp_model = _tiny_varnet(mesh)
+    ks, es = _place(mesh, k, e)
+    l_tp, g_tp = jax.jit(jax.value_and_grad(make_loss(tp_model)))(
+        variables, ks, es)
+
+    assert abs(float(l_tp) - float(l_ref)) < 1e-5
+    # cross-program gradient comparison: norm-based tolerance (reduction
+    # reassociation + the persistent test compile cache can drift ~1e-4)
+    for p_ref, p_tp in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        num = float(jnp.linalg.norm(p_tp - p_ref))
+        den = float(jnp.linalg.norm(p_ref)) + 1e-8
+        assert num / den < 1e-3, f"grad drift {num/den:.2e}"
+
+
+def test_coil_tp_uneven_coils_and_1d_data_mesh(rng):
+    """Coils need not divide the coil axis (GSPMD pads the last shard)."""
+    k = jnp.asarray(rng.standard_normal((2, 6, 1, 16, 16, 2)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((2, 6, 1, 16, 16, 2)), jnp.float32)
+    ref_model = _tiny_varnet()
+    variables = ref_model.init(jax.random.PRNGKey(2), k, e)
+    want = np.asarray(jax.jit(ref_model.apply)(variables, k, e))
+
+    mesh = make_recon_mesh(2, 4)  # 6 coils over 4 shards: 2,2,2,0-pad
+    tp_model = _tiny_varnet(mesh)
+    ks, es = _place(mesh, k, e)
+    got = np.asarray(jax.jit(tp_model.apply)(variables, ks, es))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Cascade pipeline parallelism (parallel/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def test_gpipe_schedule_matches_sequential(rng):
+    """The GPipe schedule on a trivial affine stage == the sequential loop
+    (pipelining reorders nothing within a microbatch; only compiler fusion
+    differs, so the pin is ulp-level)."""
+    from jax.sharding import Mesh
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import gpipe
+
+    S, M, mb = 4, 2, 3
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+    w = jnp.asarray(rng.standard_normal((S, 5)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, mb, 5)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((M, mb, 5)), jnp.float32)
+
+    def stage(p, state, consts):
+        return jnp.tanh(state * p + consts)
+
+    got = gpipe(mesh, "pipe", stage, w, x, c)
+    want = x
+    for s in range(S):
+        want = jnp.tanh(want * w[s] + c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # 2 stages per device: S=4 over a 2-way pipe
+    mesh2 = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    got2 = gpipe(mesh2, "pipe", stage, w, x, c)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        gpipe(mesh, "pipe", stage, w[:3], x, c)  # 3 stages on 4-way pipe
+
+
+@pytest.mark.slow
+def test_varnet_pipeline_forward_and_grads_match(rng):
+    """Cascades pipelined over a 4-way "pipe" axis == the unrolled model,
+    forward and gradients (params enter in the model's own tree)."""
+    from jax.sharding import Mesh
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import (
+        varnet_apply_pipelined)
+
+    model = VarNet(bvalue="b50", num_cascades=4, sens_chans=4, sens_pools=2,
+                   chans=4, pools=2)
+    b = 4
+    k = jnp.asarray(rng.standard_normal((b, 4, 1, 16, 16, 2)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((b, 4, 1, 16, 16, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), k, e)
+    want = np.asarray(jax.jit(model.apply)(variables, k, e))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+
+    def pp_fwd(v, kk, ee):
+        return varnet_apply_pipelined(model, v, kk, ee, mesh,
+                                      n_microbatches=2)
+
+    got = np.asarray(jax.jit(pp_fwd)(variables, k, e))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def make_loss(fwd):
+        return lambda v: jnp.mean(fwd(v, k, e) ** 2)
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(make_loss(model.apply)))(
+        variables)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(make_loss(pp_fwd)))(variables)
+    assert abs(float(l_pp) - float(l_ref)) < 1e-6
+    for p_ref, p_pp in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        num = float(jnp.linalg.norm(p_pp - p_ref))
+        den = float(jnp.linalg.norm(p_ref)) + 1e-8
+        assert num / den < 1e-3, f"pp grad drift {num/den:.2e}"
+
+
+@pytest.mark.slow
+def test_varnet_trainer_on_recon_mesh(rng, tmp_path):
+    """One trainer step + validate on the (data, coil) mesh equals the
+    meshless trainer bit-for-float: same samples, same seed."""
+    from mri_acl_imagesegmentation_adsp_tpu.data.transforms import (
+        VarNetSample)
+    from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
+        VarNetArgs, VarNetTrainer)
+
+    def mk_samples(n):
+        out = []
+        for i in range(n):
+            kk = rng.standard_normal((C, A, H, W, 2)).astype(np.float32)
+            tg = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+            out.append(VarNetSample(
+                kspace=kk, target=tg, espirit=kk.copy(), fname="v0.h5",
+                slice_num=i, max_value=float(tg.max()),
+                crop_size=(H, W)))
+        return out
+
+    samples = mk_samples(2)
+
+    def run(mesh):
+        args = VarNetArgs(out_dir=str(tmp_path / ("tp" if mesh else "ref")),
+                          num_cascades=2, pools=2, chans=4, sens_pools=2,
+                          sens_chans=4, epochs=1, crop=12, amp=False,
+                          batch_size=2, seed=7)
+        tr = VarNetTrainer(args, train_ds=samples, val_ds=samples[:1],
+                           mesh=mesh)
+        tr_loss = tr.train_one_epoch()
+        return tr_loss, tr.validate()["validation_loss"]
+
+    l_ref, v_ref = run(None)
+    l_tp, v_tp = run(make_recon_mesh(2, 4))
+    assert abs(l_tp - l_ref) < 1e-5, (l_tp, l_ref)
+    assert abs(v_tp - v_ref) < 1e-4, (v_tp, v_ref)
