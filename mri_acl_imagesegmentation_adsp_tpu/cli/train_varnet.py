@@ -63,7 +63,18 @@ def main(argv=None) -> int:
                         "(vendored train_varnet_prostate.py behavior).")
     p.add_argument("--save-resume-every", type=int, default=1,
                    help="Epochs between resume snapshots (0 disables).")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="Devices on the batch ('data') mesh axis.")
+    p.add_argument("--coil-parallel", type=int, default=1,
+                   help="Devices on the coil tensor-parallel mesh axis "
+                        "(k-space/sens-map coil shards; one coil-combine "
+                        "psum per cascade — recon.varnet.VarNet layout).")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.data_parallel * args.coil_parallel > 1:
+        from ..parallel import make_recon_mesh
+        mesh = make_recon_mesh(args.data_parallel, args.coil_parallel)
 
     mask_func = None
     if args.mask_type != "none":
@@ -83,7 +94,8 @@ def main(argv=None) -> int:
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
         amp=args.amp, batch_size=args.batch_size,
         num_workers=args.num_workers)
-    trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds)
+    trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds,
+                            mesh=mesh)
     if args.mode == "train":
         trainer.fit(resume=args.resume,
                     save_resume_every=args.save_resume_every)

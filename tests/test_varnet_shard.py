@@ -109,6 +109,61 @@ def test_coil_tp_uneven_coils_and_1d_data_mesh(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+_ISMRMRD_HDR = """<?xml version="1.0"?>
+<ismrmrdHeader xmlns="http://www.ismrm.org/ISMRMRD">
+  <encoding>
+    <encodedSpace><matrixSize><x>64</x><y>40</y><z>1</z></matrixSize></encodedSpace>
+    <reconSpace><matrixSize><x>64</x><y>64</y><z>1</z></matrixSize></reconSpace>
+    <encodingLimits><kspace_encoding_step_1>
+      <minimum>0</minimum><maximum>39</maximum><center>20</center>
+    </kspace_encoding_step_1></encodingLimits>
+    <trajectoryDescription>
+      <userParameterLong><name>rampUpTime</name><value>100</value></userParameterLong>
+      <userParameterLong><name>rampDownTime</name><value>100</value></userParameterLong>
+      <userParameterLong><name>flatTopTime</name><value>400</value></userParameterLong>
+      <userParameterLong><name>acqDelayTime</name><value>10</value></userParameterLong>
+      <userParameterLong><name>echoSpacing</name><value>1</value></userParameterLong>
+    </trajectoryDescription>
+  </encoding>
+</ismrmrdHeader>"""
+
+
+@pytest.mark.slow
+def test_train_varnet_cli_parallel_flags(tmp_path, rng):
+    """--data-parallel/--coil-parallel drive the (data, coil) mesh through
+    the real CLI: one epoch on synthetic DWI h5s, best ckpt written."""
+    import h5py
+    from mri_acl_imagesegmentation_adsp_tpu.cli.train_varnet import main
+
+    n_avg, n_sl, n_coil, ro, pe = 26, 2, 4, 200, 10
+    for split in ("train", "val"):
+        d = tmp_path / split
+        d.mkdir()
+        ksp = (rng.standard_normal((n_avg, n_sl, n_coil, ro, pe))
+               + 1j * rng.standard_normal((n_avg, n_sl, n_coil, ro, pe))
+               ).astype(np.complex64)
+        sens = (rng.standard_normal((n_sl, n_coil, ro, pe))
+                + 1j * rng.standard_normal((n_sl, n_coil, ro, pe))
+                ).astype(np.complex64)
+        tr = np.abs(rng.standard_normal((n_sl, ro, pe))).astype(np.float32)
+        with h5py.File(d / "case1.h5", "w") as hf:
+            hf.create_dataset("kspace", data=ksp)
+            hf.create_dataset("coil_sens_maps", data=sens)
+            hf.create_dataset("trace_b50", data=tr)
+            hf.create_dataset("trace_b1000", data=tr)
+            hf.create_dataset("ismrmrd_header", data=_ISMRMRD_HDR.encode())
+
+    out = tmp_path / "run"
+    rc = main(["--data-path", str(tmp_path), "--out-dir", str(out),
+               "--bvalue", "b50", "--num-cascades", "1", "--pools", "2",
+               "--chans", "4", "--sens-pools", "2", "--sens-chans", "4",
+               "--epochs", "1", "--no-amp", "--batch-size", "2",
+               "--save-resume-every", "0", "--seed", "3",
+               "--data-parallel", "2", "--coil-parallel", "2"])
+    assert rc == 0
+    assert (out / "varnet_best.ckpt").exists()
+
+
 # ---------------------------------------------------------------------------
 # Cascade pipeline parallelism (parallel/pipeline.py)
 # ---------------------------------------------------------------------------
