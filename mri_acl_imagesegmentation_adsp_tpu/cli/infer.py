@@ -74,6 +74,9 @@ def main(argv=None) -> int:
     p.add_argument("--qtree",
                    help="pre-exported quantized artifact (cli.quantize); "
                         "serves without the original checkpoint")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each inference batch over N devices "
+                        "(params replicated; batch rounds up to N)")
     args = p.parse_args(argv)
     if not args.ckpt and not args.qtree:
         p.error("one of --ckpt / --qtree is required")
@@ -138,13 +141,18 @@ def _run(args, apply_fn, k: int, classes: int) -> int:
         print("[infer] WARNING: --metrics computes binary Dice/IoU/HD95/"
               "ASSD and is skipped for multiclass checkpoints "
               f"(classes={classes})")
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.data_parallel)
     summary = []
     for path in read_list(args.list_txt):
         with np.load(path) as z:
             vol = z["img"].astype(np.float32)      # (S,1,H,W)
             gt = z["msk"].astype(np.uint8)
         probs = segment_volume_2d(apply_fn, vol, k=k,
-                                  batch_size=args.batch_size, classes=classes)
+                                  batch_size=args.batch_size, classes=classes,
+                                  mesh=mesh)
         if classes == 1:
             pred = (probs[:, 0] > args.threshold).astype(np.uint8)
         else:

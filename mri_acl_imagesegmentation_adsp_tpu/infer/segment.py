@@ -84,7 +84,8 @@ def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
 
 
 def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
-                      batch_size: int = 16, classes: int = 1) -> np.ndarray:
+                      batch_size: int = 16, classes: int = 1,
+                      mesh=None) -> np.ndarray:
     """Segment a whole volume with a 2-D model.
 
     apply_fn: (x NHWC) -> logits NHWC (already bound to params).
@@ -94,6 +95,12 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     All batches run in a single jitted ``lax.scan`` dispatch; the slice
     axis is padded (with repeats of the last slice) to a whole number of
     batches and the padding is dropped before returning.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each scan step's batch is
+    sharded over every mesh axis (data-parallel inference; params are
+    assumed replicated, as apply_fn closures built on host arrays are).
+    batch_size rounds UP to a multiple of the mesh size so every device
+    holds an equal slab.
     """
     vol = jnp.asarray(volume)
     if vol.ndim == 4:
@@ -106,10 +113,17 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     x = _neighbor_stack(vol, k)              # (S,H,W,k)
     s = x.shape[0]
     batch_size = min(batch_size, s)
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch_size = ((batch_size - 1) // n_dev + 1) * n_dev
     pad = (-s) % batch_size
     if pad:
         x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
     x_all = x.reshape(-1, batch_size, *x.shape[1:])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x_all = jax.device_put(x_all, NamedSharding(
+            mesh, P(None, tuple(mesh.axis_names))))
     probs = _scanned_runner(apply_fn, classes)(x_all)
     probs = probs.reshape(-1, *probs.shape[2:])[:s]
     return np.asarray(probs, np.float32)

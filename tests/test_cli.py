@@ -99,6 +99,15 @@ def test_infer_cli_end_to_end(tmp_path, rng):
     assert pred.shape == (6, 48, 48)
     assert pred.dtype == np.uint8
 
+    # data-parallel inference over the virtual mesh == single-device preds
+    dp_dir = tmp_path / "preds_dp"
+    rc = infer_main(["--ckpt", str(tmp_path / "run" / "best.ckpt"),
+                     "--list", str(lst), "--out-dir", str(dp_dir),
+                     "--data-parallel", "8"])
+    assert rc == 0
+    dp_summary = json.loads((dp_dir / "summary.json").read_text())
+    np.testing.assert_array_equal(np.load(dp_summary[0]["pred_path"]), pred)
+
     # quantized serving path: int8 predictions must agree with f32
     qdir = tmp_path / "preds_q"
     rc = infer_main(["--ckpt", str(tmp_path / "run" / "best.ckpt"),

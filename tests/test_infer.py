@@ -51,6 +51,30 @@ def test_segment_volume_edge_clamping(rng):
     assert np.allclose(probs[:, 0, 0, 0], expect, atol=1e-6)
 
 
+def test_segment_volume_2d_mesh_matches_unsharded(rng):
+    """Data-parallel inference: per-step batch sharded over the full mesh
+    == the single-device run (a real U-Net, so conv/BN inference paths are
+    exercised; params replicated through the closure)."""
+    from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import make_mesh
+
+    vol = rng.standard_normal((11, 1, 32, 32)).astype(np.float32)
+    model = build_unet("unet", "resnet18", "none", in_ch=3, classes=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32),
+                           train=False)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    want = segment_volume_2d(apply_fn, vol, k=3, batch_size=4)
+    got = segment_volume_2d(apply_fn, vol, k=3, batch_size=4,
+                            mesh=make_mesh(8))
+    # batch rounds 4 -> 8 on the mesh; results must agree slice-for-slice
+    assert got.shape == want.shape == (11, 1, 32, 32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_sliding_window_3d_blending_constant_logits(rng):
     """Identity-logit model -> uniform probability everywhere despite
     overlapping windows (blend normalization must cancel)."""
