@@ -82,12 +82,15 @@ class _ModelRunner:
     task = "segment"
 
     def __init__(self, apply_fn, k: int, classes: int, source: str,
-                 batch_size: int, pre_out_size=(320, 320)):
+                 batch_size: int, pre_out_size=(320, 320), mesh=None):
         self.apply_fn = apply_fn
         self.k = k
         self.classes = classes
         self.source = source
         self.batch_size = batch_size
+        # optional data-parallel mesh: each scan step's batch shards over
+        # every mesh axis (segment_volume_2d mesh= semantics)
+        self.mesh = mesh
         # resize target of the /v1/segment_kspace preprocess chain — must
         # match the resolution the served model was trained at
         self.pre_out_size = tuple(int(v) for v in pre_out_size)
@@ -119,7 +122,7 @@ class _ModelRunner:
             t0 = time.perf_counter()
             probs = segment_volume_2d(self.apply_fn, vol.astype(np.float32),
                                       k=self.k, batch_size=self.batch_size,
-                                      classes=self.classes)
+                                      classes=self.classes, mesh=self.mesh)
             dt = time.perf_counter() - t0
             with self.stats_lock:
                 self.last_latency_s = dt
@@ -162,7 +165,7 @@ class _ModelRunner:
             vol = packed["tensor"]                      # (S,1,H,W) z-scored
             probs = segment_volume_2d(self.apply_fn, vol, k=self.k,
                                       batch_size=self.batch_size,
-                                      classes=self.classes)
+                                      classes=self.classes, mesh=self.mesh)
             dt = time.perf_counter() - t0
             with self.stats_lock:
                 self.last_latency_s = dt
@@ -351,6 +354,10 @@ def _build_runner(args):
 
     pre_out = tuple(int(v) for v in str(
         getattr(args, "pre_out_size", "") or "320,320").split(","))
+    mesh = None
+    if int(getattr(args, "data_parallel", 1) or 1) > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(int(args.data_parallel))
 
     if args.qtree:
         from .quantize import load_engine
@@ -361,7 +368,7 @@ def _build_runner(args):
             return eng.apply(qtree, norm(x))
 
         return _ModelRunner(apply_fn, meta["k"], meta["classes"], "qtree",
-                            args.batch_size, pre_out_size=pre_out)
+                            args.batch_size, pre_out_size=pre_out, mesh=mesh)
 
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     norm = make_input_norm(bool(margs.get("imagenet_norm")))
@@ -372,7 +379,7 @@ def _build_runner(args):
 
     return _ModelRunner(apply_fn, margs.get("k", 1),
                         margs.get("classes", 1), "ckpt", args.batch_size,
-                        pre_out_size=pre_out)
+                        pre_out_size=pre_out, mesh=mesh)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -509,6 +516,9 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each segmentation batch over N devices "
+                        "(--task segment only; params replicated)")
     p.add_argument("--pre-out-size", default="320,320",
                    help="'H,W' resize target for the /v1/segment_kspace "
                         "preprocess chain — match the resolution the "

@@ -87,6 +87,27 @@ def test_segment_matches_direct_inference(served):
                                   (probs_ref[:, 0] > 0.9).astype(np.uint8))
 
 
+def test_segment_data_parallel_daemon_matches(served, tmp_path):
+    """--data-parallel N daemon == the single-device daemon's answer
+    (in-process runner with a mesh; full HTTP server not re-spun)."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import _ModelRunner
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import make_mesh
+
+    url, apply_fn = served
+    rng = np.random.default_rng(1)
+    vol = rng.standard_normal((6, 32, 32)).astype(np.float32)
+
+    with _post_npz(url + "/v1/segment?probs=1", img=vol) as r:
+        want = np.load(io.BytesIO(r.read()))
+
+    runner = _ModelRunner(apply_fn, k=1, classes=1, source="ckpt",
+                          batch_size=4, mesh=make_mesh(8))
+    got = runner.segment(vol, threshold=0.5, want_probs=True)
+    np.testing.assert_allclose(got["probs"], want["probs"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["mask"], want["mask"])
+
+
 def test_bad_requests(served):
     url, _ = served
     # missing img key -> 400
