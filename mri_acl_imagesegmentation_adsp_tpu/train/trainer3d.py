@@ -147,6 +147,10 @@ class UNet3DArgs:
                                     # at the reference ROI needs remat on a
                                     # 16 GB chip), so this is THE way to
                                     # reach larger effective batches
+    data_parallel: int = 1          # shard each patch batch over N devices
+                                    # (params replicated; InstanceNorm is
+                                    # per-sample, so DP == single-device
+                                    # math up to loss-mean reassociation)
 
 
 class UNet3DTrainer:
@@ -194,6 +198,16 @@ class UNet3DTrainer:
             self.device_store = DeviceVolumeStore(args.train_list,
                                                   seed=args.seed)
 
+        self.mesh = None
+        if int(getattr(args, "data_parallel", 1) or 1) > 1:
+            from ..parallel import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.mesh = make_mesh(int(args.data_parallel))
+            rep = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+
         self.best_val = float("inf")
         self.best_path = os.path.join(args.out_dir, "best3d.ckpt")
         self.log_csv = os.path.join(args.out_dir, "train_log.csv")
@@ -212,6 +226,21 @@ class UNet3DTrainer:
 
     def _logits_nc(self, logits_ndhwc):
         return jnp.transpose(logits_ndhwc, (0, 4, 1, 2, 3))  # NCDHW
+
+    def _place(self, x, y):
+        """Batch onto the mesh (batch dim over "data"; dims the mesh does
+        not divide fall back to replication — e.g. the batch-1 eval)."""
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if self.mesh is None:
+            return x, y
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import divisible_spec
+        return (jax.device_put(x, NamedSharding(
+                    self.mesh, divisible_spec(self.mesh, x.shape,
+                                              P("data")))),
+                jax.device_put(y, NamedSharding(
+                    self.mesh, divisible_spec(self.mesh, y.shape,
+                                              P("data")))))
 
     def _grad_step_impl(self, params, batch_stats, x, y):
         def loss_of(p):
@@ -250,15 +279,14 @@ class UNet3DTrainer:
         run, nb = 0.0, 0
         gsum, in_group = None, 0
         for x, y in self._train_batches():
+            x, y = self._place(x, y)
             if accum == 1:
                 self.params, self.batch_stats, self.opt_state, loss = \
                     self._train_step(self.params, self.batch_stats,
-                                     self.opt_state,
-                                     jnp.asarray(x), jnp.asarray(y))
+                                     self.opt_state, x, y)
             else:
                 loss, grads, self.batch_stats = self._grad_step(
-                    self.params, self.batch_stats,
-                    jnp.asarray(x), jnp.asarray(y))
+                    self.params, self.batch_stats, x, y)
                 gsum = grads if gsum is None else self._add_grads(gsum, grads)
                 in_group += 1
                 if in_group == accum:
@@ -293,8 +321,9 @@ class UNet3DTrainer:
     def validate(self) -> float:
         run, nb = 0.0, 0
         for x, y in self.val_ds.batches(1, shuffle=False):
+            x, y = self._place(x, y)
             run += float(self._eval_step(self.params, self.batch_stats,
-                                         jnp.asarray(x), jnp.asarray(y)))
+                                         x, y))
             nb += 1
         return run / max(1, nb)
 
@@ -349,6 +378,8 @@ def parse_args(argv=None) -> UNet3DArgs:
                    help="microbatches per optimizer update (effective "
                         "batch = batch-size x this at one microbatch's "
                         "HBM working set)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each patch batch over N devices")
     a = p.parse_args(argv)
     return UNet3DArgs(
         train_list=a.train_list, val_list=a.val_list, out_dir=a.out_dir,
@@ -359,6 +390,7 @@ def parse_args(argv=None) -> UNet3DArgs:
         samples_per_vol_train=a.samples_per_vol_train,
         samples_per_vol_val=a.samples_per_vol_val,
         device_sampling=a.device_sampling, accum_steps=a.accum_steps,
+        data_parallel=a.data_parallel,
     )
 
 

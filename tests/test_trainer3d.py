@@ -61,6 +61,26 @@ def test_unet3d_trainer_smoke(packs3d, tmp_path):
     assert len(log) == 3
 
 
+def test_unet3d_trainer_data_parallel_matches(packs3d, tmp_path):
+    """--data-parallel 2: one epoch on the mesh == the single-device run
+    (InstanceNorm is per-sample, so batch sharding only re-associates the
+    loss mean / gradient sums)."""
+    def run(dp, name):
+        args = UNet3DArgs(train_list=packs3d, val_list=packs3d,
+                          out_dir=str(tmp_path / name), roi=(16, 16, 8),
+                          channels=(4, 8), classes=1, batch_size=2,
+                          epochs=1, amp=False, samples_per_vol_train=4,
+                          samples_per_vol_val=1, seed=11, data_parallel=dp)
+        t = UNet3DTrainer(args)
+        tr = t.train_one_epoch()
+        return tr, t.validate()
+
+    tr_ref, vl_ref = run(1, "ref3d")
+    tr_dp, vl_dp = run(2, "dp3d")
+    assert abs(tr_dp - tr_ref) < 1e-4, (tr_dp, tr_ref)
+    assert abs(vl_dp - vl_ref) < 1e-4, (vl_dp, vl_ref)
+
+
 def test_device_sampling_trains(tmp_path, packs3d):
     """HBM-resident store + in-jit patch sampling (device_sampling=True)
     trains with finite losses and writes the same artifacts."""
