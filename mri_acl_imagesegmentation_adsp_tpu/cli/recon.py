@@ -18,12 +18,12 @@ import os
 from pathlib import Path
 
 
-def reconstruct_case(fname: str, sequence: str) -> dict:
+def reconstruct_case(fname: str, sequence: str, mesh=None) -> dict:
     from ..data.recon_data import load_file_T2, load_file_dwi
     from ..recon import t2_reconstruction, dwi_reconstruction
     if sequence == "t2":
         kspace, calib, hdr, im_recon, atts = load_file_T2(fname)
-        return t2_reconstruction(kspace, calib, hdr)
+        return t2_reconstruction(kspace, calib, hdr, mesh=mesh)
     kspace, calib, coil_sens, hdr = load_file_dwi(fname)
     return dwi_reconstruction(kspace, calib, coil_sens, hdr)
 
@@ -36,7 +36,14 @@ def main(argv=None) -> int:
     p.add_argument("--sequence", choices=["t2", "dwi"], required=True)
     p.add_argument("--split", default="training",
                    choices=["training", "validation", "test"])
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each case's slices over N devices "
+                        "(t2 only; slices are independent)")
     args = p.parse_args(argv)
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.data_parallel)
 
     sub = "T2" if args.sequence == "t2" else "DIFFUSION"
     case_dir = args.data_path / args.split / sub
@@ -49,7 +56,7 @@ def main(argv=None) -> int:
         if fname.suffix != ".h5":
             continue
         print(f"[recon] {fname.name} ({args.sequence})")
-        out = reconstruct_case(str(fname), args.sequence)
+        out = reconstruct_case(str(fname), args.sequence, mesh=mesh)
         save_recon(out, str(args.output_path / fname.name))
         n += 1
     print(f"[recon] reconstructed {n} case(s) -> {args.output_path}")

@@ -345,7 +345,7 @@ class Grappa:
         return jnp.moveaxis(k + vals, coil_slot, ax)
 
     def apply_weights_pair_multi(self, kspace_pair: jnp.ndarray,
-                                 weights_per_slice) -> jnp.ndarray:
+                                 weights_per_slice, mesh=None) -> jnp.ndarray:
         """Fill the holes of MANY slices (each with its own weight set but
         the shared sampling geometry) in ONE device dispatch.
 
@@ -355,6 +355,11 @@ class Grappa:
         weight dicts (len S). On remote-attached chips the per-slice
         dispatch chain dominates the conv work, so collapsing S dispatches
         into one vmapped call is a large wall-clock win.
+
+        ``mesh``: optional Mesh — the slice axis shards over its first
+        axis (slices are independent, so classical recon is embarrassingly
+        data-parallel; dims the mesh does not divide fall back to
+        replication).
         """
         s = kspace_pair.shape[0]
         elem_rank = kspace_pair.ndim - 3   # dims between (S, B) and pair
@@ -375,8 +380,31 @@ class Grappa:
             bounds = bnd if bounds is None else bounds
             kernel_stack.append(kern)
         kernels = jnp.asarray(np.stack(kernel_stack))   # (S, G, kx, ky, ...)
-        vals = jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None, None))(
-            kpad, kernels, jnp.asarray(geom_map), bounds)
+        gm = jnp.asarray(geom_map)
+
+        def run(kp, kn):
+            return jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None, None))(
+                kp, kn, gm, bounds)
+
+        axis = mesh.axis_names[0] if mesh is not None else None
+        if mesh is not None and s % mesh.shape[axis] == 0:
+            # shard_map, not sharding constraints: each device runs the
+            # PLAIN local conv program on its slice shard. (The GSPMD
+            # partitioner was observed to MISCOMPILE the vmapped
+            # batched-kernel conv + bbox scatter-add under a batch-dim
+            # sharding — 5% wrong values on CPU; explicit SPMD sidesteps
+            # the partitioner entirely and is the right formulation
+            # anyway: slices are independent, zero communication.)
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:                      # older jax
+                from jax.experimental.shard_map import shard_map
+            vals = shard_map(run, mesh=mesh,
+                             in_specs=(P(axis), P(axis)),
+                             out_specs=P(axis))(kpad, kernels)
+        else:
+            vals = run(kpad, kernels)
         return jnp.moveaxis(k + vals, coil_slot, ax)
 
     def apply_weights_batch(self, kspaces: np.ndarray,

@@ -82,10 +82,14 @@ def create_coil_combined_im(multicoil_multislice_kspace: np.ndarray
 
 
 def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
-                      hdr: Optional[Union[str, float]] = None
-                      ) -> Dict[str, np.ndarray]:
+                      hdr: Optional[Union[str, float]] = None,
+                      mesh=None) -> Dict[str, np.ndarray]:
     """Full T2 pipeline. ``hdr`` is an ISMRMRD XML string or an explicit
-    padding amount (float); None means no zero-padding.
+    padding amount (float); None means no zero-padding. ``mesh``: optional
+    Mesh — slices shard over its first axis (hole-fill convs, iFFT and RSS
+    are per-slice independent, so classical recon is embarrassingly
+    data-parallel across chips; non-divisible slice counts fall back to
+    replication).
 
     DEVICE-RESIDENT: the k-space pairs upload to HBM exactly once; GRAPPA
     hole filling (averages 0+2 in one batched conv per slice), PE
@@ -143,10 +147,10 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
         k02 = jnp.transpose(k_pair[avg02, lo:hi],
                             (1, 0, 2, 3, 4, 5))    # (cs, 2, pe, C, ro, 2)
         f02_parts.append(grappa_obj.apply_weights_pair_multi(
-            k02, [wd[s] for s in range(lo, hi)]))
+            k02, [wd[s] for s in range(lo, hi)], mesh=mesh))
         k1 = jnp.transpose(k_pair[1:2, lo:hi], (1, 0, 2, 3, 4, 5))
         f1_parts.append(grappa_obj_2.apply_weights_pair_multi(
-            k1, [wd2[s] for s in range(lo, hi)]))
+            k1, [wd2[s] for s in range(lo, hi)], mesh=mesh))
     f02 = jnp.concatenate(f02_parts, axis=0)       # (S, 2, pe, C, ro, 2)
     f1 = jnp.concatenate(f1_parts, axis=0)
     k_post = jnp.stack([f02[:, 0], f1[:, 0], f02[:, 1]],

@@ -165,6 +165,31 @@ def test_t2_reconstruction_shapes_and_quality(rng):
     assert np.isfinite(rec).all()
 
 
+def test_t2_reconstruction_mesh_matches_unsharded(rng):
+    """Slice-sharded T2 recon over a 2-device mesh == the single-device
+    pipeline (classical recon is per-slice independent; the hole-fill
+    convs, iFFT and RSS partition over the slice axis)."""
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import make_mesh
+
+    h, w, nc = 48, 40, 4
+    _, ksp = _multicoil_phantom(rng, h, w, nc)
+    full = np.moveaxis(ksp, -1, 0)
+    under = full.copy()
+    under[:, :, 1::2] = 0
+    under[:, :, w // 2 - 6: w // 2 + 6] = full[:, :, w // 2 - 6: w // 2 + 6]
+    # TWO slices (second is a scaled copy) so a 2-way mesh genuinely shards
+    two = np.stack([under, 0.7 * under], axis=0)       # (S=2, C, H, W)
+    kspace_data = np.stack([two] * 3)                  # (3, 2, C, H, W)
+    calib = np.stack([full[:, :, w // 2 - 8: w // 2 + 8],
+                      0.7 * full[:, :, w // 2 - 8: w // 2 + 8]])
+    want = t2_reconstruction(kspace_data, calib, hdr=None)
+    got = t2_reconstruction(kspace_data, calib, hdr=None,
+                            mesh=make_mesh(2))
+    np.testing.assert_allclose(got["reconstruction_rss"],
+                               want["reconstruction_rss"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_recon_cli_end_to_end_t2(tmp_path, rng):
     """cli.recon walks {data_path}/{split}/T2, reconstructs each case from
     the raw h5 (kspace + calibration + ISMRMRD header) and saves the result
@@ -209,6 +234,16 @@ def test_recon_cli_end_to_end_t2(tmp_path, rng):
         rec = hf["reconstruction_rss"][:]
     assert rec.shape[0] == 1 and np.isfinite(rec).all()
     assert rec.std() > 0  # a real image, not zeros
+
+    # --data-parallel through the CLI: 1 slice on a 2-way mesh falls back
+    # to replication (divisible_spec), so results must match exactly
+    dp_dir = tmp_path / "recons_dp"
+    assert main(["--data-path", str(tmp_path), "--output-path", str(dp_dir),
+                 "--sequence", "t2", "--split", "training",
+                 "--data-parallel", "2"]) == 0
+    with h5py.File(dp_dir / "case0.h5", "r") as hf:
+        np.testing.assert_allclose(hf["reconstruction_rss"][:], rec,
+                                   rtol=1e-6, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
