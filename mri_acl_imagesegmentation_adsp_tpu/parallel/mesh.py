@@ -40,7 +40,10 @@ def make_recon_mesh(n_data: int, n_coil: int,
     Batch shards over ``axes[0]``, the coil dimension of k-space /
     sensitivity maps over ``axes[1]`` (recon.varnet.VarNet mesh layout).
     On real hardware place the coil axis on the mesh minor dim so the
-    per-cascade coil-combine psum rides nearest-neighbor ICI links."""
+    per-cascade coil-combine psum rides nearest-neighbor ICI links.
+    Pick ``n_coil`` to DIVIDE the dataset's coil count: non-divisible
+    dims fall back to replication (divisible_spec), which silently
+    loses the coil parallelism (correctness is unaffected)."""
     devs = jax.devices()
     need = n_data * n_coil
     if len(devs) < need:

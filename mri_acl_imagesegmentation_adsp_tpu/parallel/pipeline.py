@@ -41,10 +41,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+# no jax.experimental fallback here: gpipe needs lax.pcast (the shard_map
+# vma type system), which only exists on jax versions that export
+# jax.shard_map directly
+from jax import shard_map
 
 
 def gpipe(mesh: Mesh, axis: str, stage_fn: Callable[[Any, Any, Any], Any],

@@ -386,8 +386,7 @@ class Grappa:
             return jax.vmap(_apply_kernels_conv, in_axes=(0, 0, None, None))(
                 kp, kn, gm, bounds)
 
-        axis = mesh.axis_names[0] if mesh is not None else None
-        if mesh is not None and s % mesh.shape[axis] == 0:
+        if mesh is not None:
             # shard_map, not sharding constraints: each device runs the
             # PLAIN local conv program on its slice shard. (The GSPMD
             # partitioner was observed to MISCOMPILE the vmapped
@@ -395,14 +394,27 @@ class Grappa:
             # sharding — 5% wrong values on CPU; explicit SPMD sidesteps
             # the partitioner entirely and is the right formulation
             # anyway: slices are independent, zero communication.)
+            # Non-divisible slice counts PAD with repeats of the last
+            # slice (dropped after) so the mesh is always fully used.
             from jax.sharding import PartitionSpec as P
             try:
                 from jax import shard_map
             except ImportError:                      # older jax
                 from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_names[0]
+            n = int(mesh.shape[axis])
+            pad = (-s) % n
+
+            def padded(x):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
             vals = shard_map(run, mesh=mesh,
                              in_specs=(P(axis), P(axis)),
-                             out_specs=P(axis))(kpad, kernels)
+                             out_specs=P(axis))(padded(kpad),
+                                                padded(kernels))[:s]
         else:
             vals = run(kpad, kernels)
         return jnp.moveaxis(k + vals, coil_slot, ax)

@@ -88,8 +88,8 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     padding amount (float); None means no zero-padding. ``mesh``: optional
     Mesh — slices shard over its first axis (hole-fill convs, iFFT and RSS
     are per-slice independent, so classical recon is embarrassingly
-    data-parallel across chips; non-divisible slice counts fall back to
-    replication).
+    data-parallel across chips; non-divisible slice counts pad with
+    repeats of the last slice, dropped after).
 
     DEVICE-RESIDENT: the k-space pairs upload to HBM exactly once; GRAPPA
     hole filling (averages 0+2 in one batched conv per slice), PE

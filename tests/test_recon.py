@@ -189,6 +189,17 @@ def test_t2_reconstruction_mesh_matches_unsharded(rng):
                                want["reconstruction_rss"],
                                rtol=1e-5, atol=1e-5)
 
+    # UNEVEN slice count (3 on a 2-way mesh): pads with a repeat of the
+    # last slice inside the sharded hole-fill, dropped after
+    three = np.concatenate([two, 1.3 * two[:1]], axis=0)
+    k3 = np.stack([three] * 3)
+    c3 = np.concatenate([calib, 1.3 * calib[:1]], axis=0)
+    want3 = t2_reconstruction(k3, c3, hdr=None)
+    got3 = t2_reconstruction(k3, c3, hdr=None, mesh=make_mesh(2))
+    np.testing.assert_allclose(got3["reconstruction_rss"],
+                               want3["reconstruction_rss"],
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_recon_cli_end_to_end_t2(tmp_path, rng):
     """cli.recon walks {data_path}/{split}/T2, reconstructs each case from
@@ -235,8 +246,8 @@ def test_recon_cli_end_to_end_t2(tmp_path, rng):
     assert rec.shape[0] == 1 and np.isfinite(rec).all()
     assert rec.std() > 0  # a real image, not zeros
 
-    # --data-parallel through the CLI: 1 slice on a 2-way mesh falls back
-    # to replication (divisible_spec), so results must match exactly
+    # --data-parallel through the CLI: 1 slice on a 2-way mesh pads to 2
+    # (repeat of the last slice, dropped after) — results match exactly
     dp_dir = tmp_path / "recons_dp"
     assert main(["--data-path", str(tmp_path), "--output-path", str(dp_dir),
                  "--sequence", "t2", "--split", "training",

@@ -94,15 +94,23 @@ def test_coil_tp_grads_match_unsharded(rng):
         assert num / den < 1e-3, f"grad drift {num/den:.2e}"
 
 
-def test_coil_tp_uneven_coils_and_1d_data_mesh(rng):
-    """Coils need not divide the coil axis (GSPMD pads the last shard)."""
+def test_coil_tp_uneven_coils_fall_back_to_replication(rng):
+    """Coil counts the coil axis does not divide (6 on a 4-way axis, e.g.
+    b50's real 6-average layout) REPLICATE the coil dim instead of
+    sharding it — divisible_spec drops the axis name — and the math stays
+    correct (data-parallel only). Pick n_coil to divide the coil count to
+    actually get coil parallelism (make_recon_mesh docstring)."""
+    mesh = make_recon_mesh(2, 4)
+    # the fallback really engages: 'coil' is dropped from the spec
+    assert divisible_spec(mesh, (2, 6, 1, 16, 16, 2),
+                          P("data", "coil")) == P("data", None)
+
     k = jnp.asarray(rng.standard_normal((2, 6, 1, 16, 16, 2)), jnp.float32)
     e = jnp.asarray(rng.standard_normal((2, 6, 1, 16, 16, 2)), jnp.float32)
     ref_model = _tiny_varnet()
     variables = ref_model.init(jax.random.PRNGKey(2), k, e)
     want = np.asarray(jax.jit(ref_model.apply)(variables, k, e))
 
-    mesh = make_recon_mesh(2, 4)  # 6 coils over 4 shards: 2,2,2,0-pad
     tp_model = _tiny_varnet(mesh)
     ks, es = _place(mesh, k, e)
     got = np.asarray(jax.jit(tp_model.apply)(variables, ks, es))
