@@ -25,7 +25,7 @@ def reconstruct_case(fname: str, sequence: str, mesh=None) -> dict:
         kspace, calib, hdr, im_recon, atts = load_file_T2(fname)
         return t2_reconstruction(kspace, calib, hdr, mesh=mesh)
     kspace, calib, coil_sens, hdr = load_file_dwi(fname)
-    return dwi_reconstruction(kspace, calib, coil_sens, hdr)
+    return dwi_reconstruction(kspace, calib, coil_sens, hdr, mesh=mesh)
 
 
 def main(argv=None) -> int:
@@ -38,7 +38,7 @@ def main(argv=None) -> int:
                    choices=["training", "validation", "test"])
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each case's slices over N devices "
-                        "(t2 only; slices are independent)")
+                        "(slices are independent)")
     args = p.parse_args(argv)
     mesh = None
     if args.data_parallel > 1:

@@ -248,8 +248,8 @@ def compute_trace_adc_b1500(img_dict: Dict[str, np.ndarray]
 
 def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
                        coil_sens_maps: np.ndarray, hdr: Dict,
-                       max_stage_bytes: float = 400e6
-                       ) -> Dict[str, np.ndarray]:
+                       max_stage_bytes: float = 400e6,
+                       mesh=None) -> Dict[str, np.ndarray]:
     """Full DWI recon: regrid -> GRAPPA -> iFFT -> coil combine ->
     direction averages -> trace/ADC/b1500 -> flip + center crop.
 
@@ -268,6 +268,10 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
     remote-attached chips the per-slice host round-trips of the naive
     formulation dominate wall-clock (measured 33.8 s/slice naive vs the
     device-resident time in PARITY.md).
+
+    ``mesh``: optional Mesh — each chunk's GRAPPA hole-fill shards its
+    slices over the mesh's first axis (recon/grappa.py shard_map path;
+    slices independent, non-divisible counts pad).
     """
     n_avg, n_slices, n_coils, n_ro, n_pe = kspace.shape
     grid_mat = get_grid_mat(hdr).astype(np.float32)
@@ -314,7 +318,8 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
         k_chunk = jnp.transpose(k_g[:, s_lo:s_hi],
                                 (1, 0, 2, 3, 4, 5))  # (cs, A, pe, C, ro, 2)
         filled = grappa.apply_weights_pair_multi(
-            k_chunk, [weights_per_slice[s] for s in range(s_lo, s_hi)])
+            k_chunk, [weights_per_slice[s] for s in range(s_lo, s_hi)],
+            mesh=mesh)
         k_post = jnp.transpose(filled, (1, 0, 3, 4, 2, 5))
         img = ifftnd_scaled(k_post, [-2, -1])        # (A, cs, C, ro, pe, 2)
         comb = jnp.sum(cmul(img, sens_conj[None, s_lo:s_hi]), axis=2)

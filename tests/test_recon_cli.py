@@ -111,3 +111,12 @@ def test_dwi_slice_chunking_matches_single_flush(rng):
     assert set(out_chunked) == set(out_single)
     for k in out_single:
         np.testing.assert_array_equal(out_chunked[k], out_single[k])
+
+    # slice-sharded over a 2-way mesh (5 slices pad to 6 inside the
+    # sharded GRAPPA hole-fill) == the single-device pipeline
+    from mri_acl_imagesegmentation_adsp_tpu.parallel import make_mesh
+    out_mesh = dwi_reconstruction(ksp, calib, sens, EPI,
+                                  max_stage_bytes=1e12, mesh=make_mesh(2))
+    for k in out_single:
+        np.testing.assert_allclose(out_mesh[k], out_single[k],
+                                   rtol=1e-5, atol=1e-5)
