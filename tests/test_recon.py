@@ -165,6 +165,7 @@ def test_t2_reconstruction_shapes_and_quality(rng):
     assert np.isfinite(rec).all()
 
 
+@pytest.mark.slow
 def test_t2_reconstruction_mesh_matches_unsharded(rng):
     """Slice-sharded T2 recon over a 2-device mesh == the single-device
     pipeline (classical recon is per-slice independent; the hole-fill

@@ -65,6 +65,7 @@ def test_coil_tp_forward_matches_unsharded(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_coil_tp_grads_match_unsharded(rng):
     k, e = _inputs(rng)
     ref_model = _tiny_varnet()
