@@ -267,7 +267,8 @@ class MRIKneePreprocessor:
 
     def preprocess_volumes_pairs(self, kspace_pairs,
                                  metas_list: Optional[List] = None,
-                                 transfer_dtype: Optional[str] = None
+                                 transfer_dtype: Optional[str] = None,
+                                 devices: Optional[List] = None
                                  ) -> List[Dict[str, Any]]:
         """Pipelined bulk path over MANY volumes (each (S,H,W,2) pairs).
 
@@ -289,6 +290,12 @@ class MRIKneePreprocessor:
         bit-identical magnitudes. (On CPU, where matmuls keep full f32
         operands, the bf16 path differs by the input rounding — tolerance-
         tested there, exactness asserted in the TPU verification recipe.)
+
+        ``devices``: optional device list — volumes round-robin across it
+        (volume i runs wholly on devices[i % n]; the chain is per-volume
+        independent, so this is corpus-level data parallelism: each chip's
+        upload/compute/download pipeline fills independently). Results are
+        placement-invariant.
         """
         if transfer_dtype not in (None, "float32", "bfloat16"):
             raise ValueError(f"unsupported transfer_dtype {transfer_dtype!r}")
@@ -296,8 +303,17 @@ class MRIKneePreprocessor:
                    else jnp.float32)
         metas_list = metas_list or [None] * len(kspace_pairs)
         staged = []
-        for pair, metas in zip(kspace_pairs, metas_list):
-            stack = jnp.asarray(np.asarray(pair, np.float32), dtype=link_dt)
+        for i, (pair, metas) in enumerate(zip(kspace_pairs, metas_list)):
+            host = np.asarray(pair, np.float32)
+            if link_dt == jnp.bfloat16:
+                import ml_dtypes
+                # round on HOST (same rule as before: the link carries
+                # half the bytes)
+                host = host.astype(ml_dtypes.bfloat16)
+            if devices:
+                stack = jax.device_put(host, devices[i % len(devices)])
+            else:
+                stack = jnp.asarray(host)
             ns = stack.shape[0]
             s0, s1 = self._keep_band(ns)
             out = self._volume_chain_vmapped(stack[s0:s1], True)

@@ -237,6 +237,21 @@ def test_bf16_link_transfer_close_to_f32(fake_fastmri_root):
         pre.preprocess_volumes_pairs(pairs, transfer_dtype="float16")
 
 
+def test_corpus_preprocess_round_robin_devices(fake_fastmri_root):
+    """devices=: volumes round-robin across chips; results are
+    placement-invariant (bit-equal to the default-device path)."""
+    import jax
+    root, vols = fake_fastmri_root
+    pre = MRIKneePreprocessor(out_size=(48, 48), slice_keep=(0.0, 1.0))
+    pairs = [np.stack([k.real, k.imag], -1).astype(np.float32)
+             for k in vols.values()]
+    ref = pre.preprocess_volumes_pairs(pairs)
+    rr = pre.preprocess_volumes_pairs(pairs, devices=jax.devices()[:4])
+    for r, l in zip(ref, rr):
+        np.testing.assert_array_equal(r["tensor"], l["tensor"])
+        np.testing.assert_array_equal(r["mask"], l["mask"])
+
+
 # ---------------------------------------------------------------------------
 # Packer / artifact layout
 # ---------------------------------------------------------------------------
