@@ -69,12 +69,22 @@ def main(argv=None) -> int:
                    help="Devices on the coil tensor-parallel mesh axis "
                         "(k-space/sens-map coil shards; one coil-combine "
                         "psum per cascade — recon.varnet.VarNet layout).")
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="GPipe the cascade chain over N devices "
+                        "(parallel/pipeline.py; num-cascades must tile N; "
+                        "mutually exclusive with --data/--coil-parallel).")
     args = p.parse_args(argv)
 
-    mesh = None
+    mesh, pipe_mesh = None, None
     if args.data_parallel * args.coil_parallel > 1:
         from ..parallel import make_recon_mesh
         mesh = make_recon_mesh(args.data_parallel, args.coil_parallel)
+    if args.pipeline_parallel > 1:
+        import numpy as _np
+        import jax as _jax
+        from jax.sharding import Mesh as _Mesh
+        pipe_mesh = _Mesh(
+            _np.asarray(_jax.devices()[:args.pipeline_parallel]), ("pipe",))
 
     mask_func = None
     if args.mask_type != "none":
@@ -95,7 +105,7 @@ def main(argv=None) -> int:
         amp=args.amp, batch_size=args.batch_size,
         num_workers=args.num_workers)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds,
-                            mesh=mesh)
+                            mesh=mesh, pipe_mesh=pipe_mesh)
     if args.mode == "train":
         trainer.fit(resume=args.resume,
                     save_resume_every=args.save_resume_every)

@@ -103,7 +103,7 @@ class VarNetTrainer:
     """Host loop around a jitted VarNet SSIM step."""
 
     def __init__(self, args: VarNetArgs, train_ds=None, val_ds=None,
-                 mesh=None):
+                 mesh=None, pipe_mesh=None):
         self.args = args
         os.makedirs(args.out_dir, exist_ok=True)
         self.train_ds = train_ds
@@ -113,6 +113,19 @@ class VarNetTrainer:
         # the vendored stack's only analogue is DDP over the batch
         # (zip!DL_reconstruction/train_varnet_prostate.py:80-82)
         self.mesh = mesh
+        # optional 1-D ("pipe",) mesh: GPipe cascade pipeline parallelism
+        # (parallel/pipeline.py) — forward AND backward (via AD) staged
+        # over the pipe axis; mutually exclusive with `mesh`
+        self.pipe_mesh = pipe_mesh
+        if mesh is not None and pipe_mesh is not None:
+            raise ValueError("mesh (DP x coil-TP) and pipe_mesh (cascade "
+                             "PP) are mutually exclusive")
+        if pipe_mesh is not None:
+            n_stages = int(pipe_mesh.shape[pipe_mesh.axis_names[0]])
+            if args.num_cascades % n_stages:
+                raise ValueError(
+                    f"{args.num_cascades} cascades do not tile a "
+                    f"{n_stages}-way pipe axis")
 
         self.model = build_varnet_from_args(args, mesh=mesh)
         # StepLR via optax schedule on the step counter (epoch-granular)
@@ -171,12 +184,22 @@ class VarNetTrainer:
         decays = self.epoch // self.args.lr_step_size
         return self.args.lr * (self.args.lr_gamma ** decays)
 
+    def _apply_model(self, params, kspace, espirit):
+        if self.pipe_mesh is not None:
+            from ..parallel.pipeline import varnet_apply_pipelined
+            # one microbatch per sample: most microbatches = smallest
+            # GPipe bubble fraction (S-1)/(M+S-1), and b % M == 0 always
+            return varnet_apply_pipelined(
+                self.model, {"params": params}, kspace, espirit,
+                self.pipe_mesh, n_microbatches=kspace.shape[0])
+        return self.model.apply({"params": params}, kspace, espirit)
+
     def _fwd_impl(self, params, kspace, espirit):
-        out = self.model.apply({"params": params}, kspace, espirit)
+        out = self._apply_model(params, kspace, espirit)
         return combine_directions(out)
 
     def _loss(self, params, kspace, espirit, target, max_value):
-        out = self.model.apply({"params": params}, kspace, espirit)
+        out = self._apply_model(params, kspace, espirit)
         out = combine_directions(out)
         c = self.args.crop
         # static-shape center crops (shapes known at trace time)

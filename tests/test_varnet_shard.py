@@ -249,6 +249,46 @@ def test_varnet_pipeline_forward_and_grads_match(rng):
 
 
 @pytest.mark.slow
+def test_varnet_trainer_pipeline_parallel_matches(rng, tmp_path):
+    """Training WITH cascade pipeline parallelism (pipe_mesh / CLI
+    --pipeline-parallel) == the unrolled single-device trainer: one epoch
+    train loss + validation loss, same samples/seed."""
+    from jax.sharding import Mesh
+    from mri_acl_imagesegmentation_adsp_tpu.data.transforms import (
+        VarNetSample)
+    from mri_acl_imagesegmentation_adsp_tpu.train.varnet_trainer import (
+        VarNetArgs, VarNetTrainer)
+
+    samples = []
+    for i in range(2):
+        kk = rng.standard_normal((4, 1, 16, 16, 2)).astype(np.float32)
+        tg = np.abs(rng.standard_normal((16, 16))).astype(np.float32)
+        samples.append(VarNetSample(
+            kspace=kk, target=tg, espirit=kk.copy(), fname="v0.h5",
+            slice_num=i, max_value=float(tg.max()), crop_size=(16, 16)))
+
+    def run(pipe):
+        args = VarNetArgs(out_dir=str(tmp_path / ("pp" if pipe else "ref")),
+                          num_cascades=2, pools=2, chans=4, sens_pools=2,
+                          sens_chans=4, epochs=1, crop=12, amp=False,
+                          batch_size=2, seed=5)
+        tr = VarNetTrainer(args, train_ds=samples, val_ds=samples[:1],
+                           pipe_mesh=pipe)
+        return tr.train_one_epoch(), tr.validate()["validation_loss"]
+
+    l_ref, v_ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    l_pp, v_pp = run(mesh)
+    assert abs(l_pp - l_ref) < 1e-5, (l_pp, l_ref)
+    assert abs(v_pp - v_ref) < 1e-5, (v_pp, v_ref)
+
+    # config guard: cascades must tile the pipe axis
+    bad = VarNetArgs(out_dir=str(tmp_path / "bad"), num_cascades=3)
+    with pytest.raises(ValueError):
+        VarNetTrainer(bad, pipe_mesh=mesh)
+
+
+@pytest.mark.slow
 def test_varnet_trainer_on_recon_mesh(rng, tmp_path):
     """One trainer step + validate on the (data, coil) mesh equals the
     meshless trainer bit-for-float: same samples, same seed."""
