@@ -206,6 +206,22 @@ def test_gpipe_schedule_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
 
+    # gradients through the pipeline (incl. the local lax.scan over the
+    # per-device stage group) == the sequential program's
+    def loss_pp(wp):
+        return jnp.sum(gpipe(mesh2, "pipe", stage, wp, x, c) ** 2)
+
+    def loss_seq(wp):
+        y = x
+        for s in range(S):
+            y = jnp.tanh(y * wp[s] + c)
+        return jnp.sum(y ** 2)
+
+    g_pp = jax.grad(loss_pp)(w)
+    g_seq = jax.grad(loss_seq)(w)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_seq),
+                               rtol=1e-5, atol=1e-6)
+
     with pytest.raises(ValueError):
         gpipe(mesh, "pipe", stage, w[:3], x, c)  # 3 stages on 4-way pipe
 
