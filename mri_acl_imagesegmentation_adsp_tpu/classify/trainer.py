@@ -80,6 +80,10 @@ class ClassifierArgs:
     patience: int = 7
     seed: int = 42
     amp: bool = True
+    data_parallel: int = 1         # shard each batch over N devices
+                                   # (ConvNeXt LayerNorm is per-sample, so
+                                   # DP == 1-device math up to loss-mean
+                                   # reassociation)
 
 
 class ClassifierTrainer:
@@ -109,6 +113,25 @@ class ClassifierTrainer:
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
+        self.mesh = None
+        if int(getattr(args, "data_parallel", 1) or 1) > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(int(args.data_parallel))
+
+    def _place(self, x, y):
+        """Batch onto the mesh (batch dim over "data"; non-divisible dims
+        — e.g. a ragged last batch — replicate via divisible_spec)."""
+        if self.mesh is None:
+            return x, y
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import divisible_spec
+
+        def put(a):
+            return jax.device_put(a, NamedSharding(
+                self.mesh, divisible_spec(self.mesh, a.shape, P("data"))))
+
+        return put(x), put(y)
+
     def _make_tx(self, learning_rate):
         if self.args.optimizer == "sgd":
             return optax.sgd(learning_rate, momentum=self.args.momentum)
@@ -131,6 +154,11 @@ class ClassifierTrainer:
                                 jnp.asarray(x), train=True)
             self.params = v["params"]
             self.opt_state = self.tx.init(self.params)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(self.mesh, P())
+                self.params = jax.device_put(self.params, rep)
+                self.opt_state = jax.device_put(self.opt_state, rep)
 
     def _train_step_impl(self, params, opt_state, x, y):
         def loss_of(p):
@@ -161,6 +189,7 @@ class ClassifierTrainer:
             xb = jnp.asarray(np.moveaxis(x, 1, -1))   # NCHW -> NHWC
             yb = jnp.asarray(y)
             self._init_if_needed(xb)
+            xb, yb = self._place(xb, yb)
             if train:
                 self.params, self.opt_state, loss, logits = self._train_step(
                     self.params, self.opt_state, xb, yb)

@@ -117,6 +117,8 @@ def main(argv: Optional[list] = None) -> int:
     p.set_defaults(augment=True)
     p.add_argument("--no-amp", dest="amp", action="store_false")
     p.set_defaults(amp=True)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each batch over N devices")
     p.add_argument("--evaluate", default=None, metavar="CKPT",
                    help="Skip training; report loss/AUC of this checkpoint "
                         "on the datasheet's test split (vendored test.py)")
@@ -140,6 +142,7 @@ def main(argv: Optional[list] = None) -> int:
         cargs.batch_size = (args.batch_size if args.batch_size is not None
                             else 32)
         cargs.amp = args.amp
+        cargs.data_parallel = args.data_parallel
     else:
         cargs = ClassifierArgs(
             out_dir=args.out_dir, model=args.model, diff=(args.mode == "dwi"),
@@ -148,7 +151,8 @@ def main(argv: Optional[list] = None) -> int:
             gamma=args.gamma, lr_decay_steps=tuple(args.lr_decay_steps),
             epochs=args.epochs,
             batch_size=args.batch_size if args.batch_size is not None else 8,
-            patience=args.patience, seed=seed, amp=args.amp)
+            patience=args.patience, seed=seed, amp=args.amp,
+            data_parallel=args.data_parallel)
         datasheet, datapath = args.datasheet, args.data_path
         norm_type, augment = args.norm_type, args.augment
     if not datasheet or not datapath:

@@ -194,3 +194,28 @@ def test_classifier_trainer_smoke(classification_data, tmp_path):
     assert all(np.isfinite(h["train_loss"]) for h in result["history"])
     assert os.path.exists(result["best_ckpt"])
     assert os.path.exists(tmp_path / "clf" / "history.json")
+
+
+def test_classifier_trainer_data_parallel_matches(classification_data,
+                                                  tmp_path):
+    """data_parallel=2: one epoch on the mesh == the single-device run
+    (ConvNeXt LayerNorm is per-sample; only the loss mean re-associates)."""
+    sheet, root = classification_data
+    train = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                           istrain=True, isval=False, istest=False)
+    val = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                         istrain=False, isval=True, istest=False)
+
+    def run(dp, name):
+        args = ClassifierArgs(out_dir=str(tmp_path / name), model="tiny",
+                              epochs=1, batch_size=2, amp=False,
+                              data_parallel=dp)
+        t = ClassifierTrainer(args, train, val)
+        out = t.fit()
+        h = out["history"][0]
+        return h["train_loss"], h["val_loss"]
+
+    tr_ref, vl_ref = run(1, "clf_ref")
+    tr_dp, vl_dp = run(2, "clf_dp")
+    assert abs(tr_dp - tr_ref) < 1e-4, (tr_dp, tr_ref)
+    assert abs(vl_dp - vl_ref) < 1e-4, (vl_dp, vl_ref)
