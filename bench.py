@@ -193,8 +193,9 @@ def bench_preprocess(jnp, slices: int = 36, vols: int = 3):
     sustained = vols * slices / (t1 - t0)
 
     # bf16 link transfer: halves the upload bytes that bound the sustained
-    # rate; exact on TPU (default-precision DFT matmuls round operands
-    # through bf16 regardless — see preprocess_volumes_pairs docstring)
+    # rate, at a bounded accuracy cost (the chain's HIGHEST-precision DFT
+    # keeps full-f32 operands — see preprocess_volumes_pairs docstring;
+    # tolerance gated in scripts/verify_tpu.py 1b and test_pipeline)
     pre.preprocess_volumes_pairs(pairs[:1], transfer_dtype="bfloat16")
     t0 = time.perf_counter()
     outs16 = pre.preprocess_volumes_pairs(pairs, transfer_dtype="bfloat16")

@@ -32,6 +32,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "classes", "logger", "save_val_probs", "max_grad_norm", "amp", "seed",
     "data_parallel", "store_dtype", "resume", "save_resume_every",
     "profile_epochs", "store_sharded", "remat", "accum_steps",
+    "ckpt_backend",
 )
 
 
@@ -203,6 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--resume", action="store_true",
                      help="Resume from the newest snapshot in out-dir.")
     tpu.add_argument("--save-resume-every", type=int, default=0)
+    tpu.add_argument("--ckpt-backend", default="msgpack",
+                     choices=["msgpack", "orbax"],
+                     help="Resume-snapshot format. orbax saves sharded "
+                          "state per-shard (no host gather; multi-host "
+                          "safe) and reshards on restore.")
     tpu.add_argument("--store-sharded", action="store_true",
                      help="Shard the HBM slice store over the mesh data "
                           "axis instead of replicating it.")

@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                         "(vendored train_varnet_prostate.py behavior).")
     p.add_argument("--save-resume-every", type=int, default=1,
                    help="Epochs between resume snapshots (0 disables).")
+    p.add_argument("--ckpt-backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="Resume-snapshot format (orbax = per-shard save, "
+                        "no host gather; auto-detected on resume).")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="Devices on the batch ('data') mesh axis.")
     p.add_argument("--coil-parallel", type=int, default=1,
@@ -103,7 +107,7 @@ def main(argv=None) -> int:
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
         amp=args.amp, batch_size=args.batch_size,
-        num_workers=args.num_workers)
+        num_workers=args.num_workers, ckpt_backend=args.ckpt_backend)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds,
                             mesh=mesh, pipe_mesh=pipe_mesh)
     if args.mode == "train":

@@ -282,14 +282,17 @@ class MRIKneePreprocessor:
 
         ``transfer_dtype="bfloat16"`` halves the bytes on the host->device
         link (the k-space upload dominates the corpus transfer budget) by
-        rounding the pair to bf16 on host and upcasting on device. On a TPU
-        at DEFAULT matmul precision this is exact, not approximate: the
-        k-space pair's first device use is the centered-DFT matmuls
-        (ops/fftc.py), whose f32 operands XLA rounds through bf16 anyway —
-        round-to-nearest is idempotent, so pre-rounding on host produces
-        bit-identical magnitudes. (On CPU, where matmuls keep full f32
-        operands, the bf16 path differs by the input rounding — tolerance-
-        tested there, exactness asserted in the TPU verification recipe.)
+        rounding the pair to bf16 on host and upcasting on device. This is
+        a bandwidth/accuracy TRADE, not exact: the chain's DFT matmuls run
+        at ``Precision.HIGHEST`` (full-f32 operands — that is what buys the
+        ~6e-7 pocketfft parity), so the pre-round's ~0.4% relative input
+        error propagates. Measured deviation vs the f32 path: 1.7e-2 max
+        on z-scored tensors on the real v5e (scripts/verify_tpu.py 1b),
+        0.063 on the CPU fixtures; body masks agree >99.5% of pixels
+        (tolerance gates at both sites). An earlier revision claimed TPU
+        bit-exactness on the assumption the DFT ran at DEFAULT precision
+        (where XLA rounds f32 operands through bf16 anyway); the first
+        real-TPU run falsified it — the chain keeps HIGHEST on purpose.
 
         ``devices``: optional device list — volumes round-robin across it
         (volume i runs wholly on devices[i % n]; the chain is per-volume

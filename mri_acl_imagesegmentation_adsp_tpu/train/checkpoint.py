@@ -7,9 +7,19 @@ Parity + upgrade over the reference:
     epoch/history/RNG). The reference cannot resume (SURVEY.md §5.4 — it
     never saves optimizer state); this framework can.
 
-Serialization is flax msgpack (pure-pytree, single file, no async I/O
-machinery needed at these sizes). Host-side state (epoch counter, history,
-scheduler state machine, numpy RNG key) rides in a JSON sidecar.
+Two resume backends, auto-detected on load:
+  - "msgpack" (default): flax msgpack — pure-pytree, one file, zero extra
+    machinery. It gathers the state to host (`jax.device_get`) first, so it
+    is the right tool single-host but the wrong one for sharded state.
+  - "orbax": orbax.checkpoint StandardCheckpointHandler — saves sharded
+    ``jax.Array`` leaves shard-by-shard (no host gather, multi-host-safe
+    under `jax.distributed`) and restores INTO the target's shardings, so a
+    mesh-sharded trainer resumes without a replicate/reshard round-trip.
+
+Host-side state (epoch counter, history, scheduler state machine, numpy
+RNG key) rides in a JSON sidecar either way, and both backends share the
+same write-to-tmp-then-rename atomicity protocol, so `latest_resume_dir`
+never sees a half-written snapshot.
 """
 
 from __future__ import annotations
@@ -41,20 +51,37 @@ def load_best(path: str, target_params, target_batch_stats) -> Tuple[Any, Any]:
     return restored["model"]["params"], restored["model"]["batch_stats"]
 
 
-def save_train_state(dirpath: str, state, host_state: Dict[str, Any]) -> None:
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp, ocp.Checkpointer(ocp.StandardCheckpointHandler())
+
+
+def save_train_state(dirpath: str, state, host_state: Dict[str, Any],
+                     backend: str = "msgpack") -> None:
     """Full resumable snapshot: device pytree + host JSON.
 
     Atomic: written into a sibling tmp dir then renamed, so a crash
     mid-snapshot never leaves a half-written resume dir for
     latest_resume_dir to pick up.
+
+    backend "orbax" writes the pytree via orbax's StandardCheckpointHandler
+    (sharded leaves saved per-shard, no host gather); "msgpack" (default)
+    gathers to host and writes one flax msgpack file.
     """
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(f"unknown checkpoint backend {backend!r} "
+                         "(expected 'msgpack' or 'orbax')")
     tmp = dirpath + ".tmp"
     if os.path.isdir(tmp):
         import shutil
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(state)))
+    if backend == "orbax":
+        _, ckptr = _orbax_checkpointer()
+        ckptr.save(os.path.abspath(os.path.join(tmp, "state.orbax")), state)
+    else:
+        with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state)))
     with open(os.path.join(tmp, "host.json"), "w", encoding="utf-8") as f:
         json.dump(host_state, f, indent=2)
     if os.path.isdir(dirpath):
@@ -64,17 +91,32 @@ def save_train_state(dirpath: str, state, host_state: Dict[str, Any]) -> None:
 
 
 def save_resume(out_dir: str, epoch: int, state,
-                host_state: Dict[str, Any]) -> str:
+                host_state: Dict[str, Any],
+                backend: str = "msgpack") -> str:
     """Owns the checkpoints/resume_%06d naming convention (paired with
     latest_resume_dir); used by every trainer."""
     d = os.path.join(out_dir, "checkpoints", f"resume_{epoch:06d}")
-    save_train_state(d, state, host_state)
+    save_train_state(d, state, host_state, backend=backend)
     return d
 
 
 def load_train_state(dirpath: str, target_state) -> Tuple[Any, Dict[str, Any]]:
-    with open(os.path.join(dirpath, "state.msgpack"), "rb") as f:
-        state = serialization.from_bytes(target_state, f.read())
+    """Restore a resume snapshot into the target structure.
+
+    The on-disk format is auto-detected, so a run may flip --ckpt-backend
+    between snapshots and still resume. An orbax snapshot restores each
+    leaf INTO the target leaf's sharding (resharding on load if the mesh
+    changed); msgpack restores host arrays that the trainer's next jitted
+    step re-places onto devices.
+    """
+    orbax_dir = os.path.join(dirpath, "state.orbax")
+    if os.path.isdir(orbax_dir):
+        ocp, ckptr = _orbax_checkpointer()
+        state = ckptr.restore(os.path.abspath(orbax_dir),
+                              args=ocp.args.StandardRestore(target_state))
+    else:
+        with open(os.path.join(dirpath, "state.msgpack"), "rb") as f:
+            state = serialization.from_bytes(target_state, f.read())
     with open(os.path.join(dirpath, "host.json"), "r", encoding="utf-8") as f:
         host_state = json.load(f)
     return state, host_state
@@ -93,8 +135,9 @@ def latest_resume_dir(out_dir: str) -> Optional[str]:
         if not d.startswith("resume_") or d.endswith(".tmp"):
             continue
         full = os.path.join(root, d)
-        if (os.path.isfile(os.path.join(full, "state.msgpack"))
-                and os.path.isfile(os.path.join(full, "host.json"))):
+        has_state = (os.path.isfile(os.path.join(full, "state.msgpack"))
+                     or os.path.isdir(os.path.join(full, "state.orbax")))
+        if has_state and os.path.isfile(os.path.join(full, "host.json")):
             cands.append(d)
     if not cands:
         return None

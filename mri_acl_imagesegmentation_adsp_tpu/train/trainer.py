@@ -87,6 +87,7 @@ class UNet2DArgs:
     multihost: bool = False                  # jax.distributed multi-host (DCN)
     remat: bool = False                      # per-block backward remat (unet)
     accum_steps: int = 1                     # microbatches per optimizer step
+    ckpt_backend: str = "msgpack"            # resume format: msgpack|orbax
 
 
 class UNet2DTrainer:
@@ -218,7 +219,8 @@ class UNet2DTrainer:
     def _save_resume(self, epoch: int) -> None:
         self.start_epoch = epoch + 1
         ckpt_lib.save_resume(str(self.out_dir), epoch, self.state,
-                             self._host_state())
+                             self._host_state(),
+                             backend=self.args.ckpt_backend)
 
     def _try_resume(self) -> None:
         d = ckpt_lib.latest_resume_dir(str(self.out_dir))

@@ -81,6 +81,7 @@ class VarNetArgs:
     # torch-DataLoader-workers analogue (vendored data_module.py), realized
     # as data.prefetch.Prefetcher + GIL-free native h5 slab reads.
     num_workers: int = 0
+    ckpt_backend: str = "msgpack"   # resume snapshot format: msgpack|orbax
 
 
 def build_varnet_from_args(a, mesh=None) -> VarNet:
@@ -342,7 +343,8 @@ class VarNetTrainer:
         ckpt_lib.save_resume(
             self.args.out_dir, epoch,
             {"params": self.params, "opt_state": self.opt_state},
-            {"epoch": epoch, "best_val": self.best_val})
+            {"epoch": epoch, "best_val": self.best_val},
+            backend=self.args.ckpt_backend)
 
     def try_resume(self) -> bool:
         """Auto-resume from the newest snapshot in out_dir (vendored

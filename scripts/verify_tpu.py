@@ -68,10 +68,14 @@ z0 = np.asarray(chain(jnp.zeros_like(jnp.asarray(k_pair)))[3])
 assert np.isfinite(z0).all()
 step("   constant-input degenerate branch OK")
 
-# bf16 link transfer: at DEFAULT matmul precision the DFT rounds f32
-# operands through bf16 anyway, so a host-side pre-round must be EXACT on
-# the TPU (preprocess_volumes_pairs(transfer_dtype="bfloat16") rides this)
-step("1b. bf16 link-transfer exactness (default-precision DFT)")
+# bf16 link transfer: a bandwidth/accuracy trade (the chain's DFT runs at
+# Precision.HIGHEST — full-f32 operands — so the host-side pre-round is a
+# real ~0.4%-relative input perturbation, NOT absorbed by operand
+# rounding). Gate the documented tolerance: z-tensor dev and body-mask
+# agreement, same bounds as the CPU test (test_pipeline). First real-TPU
+# run measured max dev 1.66e-2; an earlier bit-exactness gate here was
+# falsified by that run and replaced with this one.
+step("1b. bf16 link-transfer tolerance (HIGHEST-precision DFT)")
 from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
     MRIKneePreprocessor)
 
@@ -80,15 +84,12 @@ vol_pair = np.stack([k_pair] * 3)  # (3, 96, 96, 2)
 o32 = pre_.preprocess_volumes_pairs([vol_pair])[0]
 o16 = pre_.preprocess_volumes_pairs([vol_pair],
                                     transfer_dtype="bfloat16")[0]
-bf16_exact = (np.array_equal(o32["tensor"], o16["tensor"])
-              and np.array_equal(o32["mask"], o16["mask"]))
 d = np.abs(o32["tensor"] - o16["tensor"]).max()
-# The docstring guarantee is bit-exactness on TPU (default-precision DFT
-# already rounds operands through bf16; RNE pre-round is idempotent). If
-# this ever fails on a new TPU generation, soften the preprocess.py and
-# test_pipeline.py claims rather than loosening this gate silently.
-assert bf16_exact, f"bf16 link transfer NOT exact on TPU: max dev {d:.2e}"
-step(f"   bf16 link transfer exact on TPU (max dev {d:.2e})  OK")
+agree = (o32["mask"] == o16["mask"]).mean()
+assert d < 0.12, f"bf16 link transfer tensor dev {d:.2e} (bound 0.12)"
+assert agree > 0.995, f"bf16 link transfer mask agreement {agree:.4f}"
+step(f"   bf16 link transfer within tolerance (tensor dev {d:.2e}, "
+     f"mask agree {agree:.4f})  OK")
 
 # ---------------- 2. model surface ----------------
 step("2. fused vs naive decoder on TPU (bf16)")

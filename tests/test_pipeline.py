@@ -214,12 +214,12 @@ def test_volume_chain_equals_slice_chain(fake_fastmri_root):
 
 
 def test_bf16_link_transfer_close_to_f32(fake_fastmri_root):
-    """transfer_dtype="bfloat16" halves corpus upload bytes. On CPU the
-    matmuls keep f32 operands, so the bf16-rounded input gives slightly
-    different magnitudes (bf16 has an 8-bit mantissa: ~0.4% relative on
-    inputs) — tolerance here; on the TPU at DEFAULT matmul precision the
-    DFT rounds its operands through bf16 regardless, so the paths are
-    bit-identical there (asserted in scripts/verify_tpu.py)."""
+    """transfer_dtype="bfloat16" halves corpus upload bytes at a bounded
+    accuracy cost: the chain's DFT runs at Precision.HIGHEST (full-f32
+    operands), so the bf16 pre-round's ~0.4% relative input error
+    propagates on every backend — including the TPU (measured 1.7e-2 max
+    z-tensor dev on the v5e; the same tolerance is gated on-chip in
+    scripts/verify_tpu.py 1b)."""
     root, vols = fake_fastmri_root
     pre = MRIKneePreprocessor(out_size=(48, 48), slice_keep=(0.0, 1.0))
     pairs = [np.stack([k.real, k.imag], -1).astype(np.float32)

@@ -187,3 +187,32 @@ def test_accum_steps_trainer_end_to_end(packs, tmp_path):
         steps = list(_csv.DictReader(f))
     assert len(steps) == 2 * 4  # epochs x kept microbatches
     assert json.loads((out / "args.json").read_text())["accum_steps"] == 2
+
+
+def test_orbax_resume_matches_msgpack_resume(packs, tmp_path):
+    """--ckpt-backend orbax: a run interrupted after epoch 1 and resumed to
+    epoch 2 ends bit-identical to the same interruption/resume through the
+    default msgpack backend (training is deterministic at fixed seed, so
+    any divergence is a snapshot-fidelity bug)."""
+    import jax
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
+        UNet2DArgs, UNet2DTrainer)
+
+    finals = {}
+    for backend in ("msgpack", "orbax"):
+        out = tmp_path / f"run_{backend}"
+        base = dict(train_list=packs, val_list=packs, out_dir=str(out),
+                    encoder="resnet18", batch_size=4, aug="none",
+                    logger="noop", seed=11, ckpt_backend=backend,
+                    save_resume_every=1)
+        UNet2DTrainer(UNet2DArgs(epochs=1, **base)).run()
+        t2 = UNet2DTrainer(UNet2DArgs(epochs=2, resume=True, **base))
+        assert t2.start_epoch == 2
+        result = t2.run()
+        assert result["history"][-1]["epoch"] == 2
+        finals[backend] = jax.device_get(t2.state)
+
+    for a, b in zip(jax.tree.leaves(finals["msgpack"]),
+                    jax.tree.leaves(finals["orbax"])):
+        import numpy as _np
+        assert _np.array_equal(_np.asarray(a), _np.asarray(b))
