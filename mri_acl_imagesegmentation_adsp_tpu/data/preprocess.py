@@ -153,9 +153,13 @@ class MRIKneePreprocessor:
         ok = np.asarray(cc_ok)
         if ok.all():
             return img_z, img_01, mk
-        img_z = np.asarray(img_z)
-        img_01 = np.asarray(img_01)
-        mk = np.asarray(mk)
+        # np.array (copy): np.asarray of a jax.Array is a READ-ONLY view and
+        # the per-slice exact-CC recompute below assigns into these buffers
+        # (first hit by real fastMRI panels whose topology exceeds the fixed
+        # sweep budget).
+        img_z = np.array(img_z)
+        img_01 = np.array(img_01)
+        mk = np.array(mk)
         for s in np.flatnonzero(~ok):
             z, p, m, _ = self._slice_chain(x[s], from_kspace, exact_cc=True)
             img_z[s], img_01[s], mk[s] = (

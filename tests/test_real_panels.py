@@ -1,0 +1,102 @@
+"""Real-fastMRI-data pin of the Dice-critical body-mask / preprocess chain.
+
+The reference's only real-data artifact set is its committed training run
+(reference runs/fastmri_unet). Its sample grids (samples/sample_000[0-5].png,
+rendered by src/train/engine.py:141-216) embed, per 1280x320 grid, a REAL
+fastMRI knee slice at the working 320x320 resolution:
+
+  Input panel = min-max uint8 rendering of the preprocessed z-scored image
+                (k=1, imagenet_norm=false per runs/fastmri_unet/args.json;
+                 z-score is affine, so the panel equals the min-max rendering
+                 of the percentile-clipped image);
+  GT panel    = the preprocessor's Otsu body mask
+                (src/preprocess/mri_preprocess.py:195-214) as {0,255}.
+
+These tests replace the transcription-only Otsu oracle risk (PARITY.md C8)
+with a real-data gate: our mask chain, fed the Input panel, must reproduce
+the reference's committed GT mask. Tolerance bounds come from the 8-bit
+quantization of the panel (measured slack: all six samples score >= 0.992;
+the gate is 0.99 per-sample Dice).
+
+Fixture: tests/goldens/fastmri_real_panels.npz (tests/make_real_panels.py).
+"""
+import pathlib
+
+import numpy as np
+import pytest
+
+from mri_acl_imagesegmentation_adsp_tpu.ops import maskops
+from mri_acl_imagesegmentation_adsp_tpu.data.preprocess import (
+    MRIKneePreprocessor,
+)
+
+GOLDEN = pathlib.Path(__file__).parent / "goldens" / "fastmri_real_panels.npz"
+
+
+@pytest.fixture(scope="module")
+def panels():
+    z = np.load(GOLDEN)
+    return z["inputs"], z["gt_masks"]
+
+
+def _dice(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(bool)
+    b = b.astype(bool)
+    return 2.0 * np.logical_and(a, b).sum() / max(a.sum() + b.sum(), 1)
+
+
+def test_body_mask_matches_reference_real_data(panels):
+    """ops.maskops.body_mask on the real slices vs the reference's committed
+    mask (reference mri_preprocess.py:195-214 output, GT panel)."""
+    inputs, gts = panels
+    for i in range(inputs.shape[0]):
+        v = inputs[i].astype(np.float32) / 255.0
+        m = np.asarray(maskops.body_mask(v, cc_sweeps=None)).astype(bool)
+        d = _dice(m, gts[i])
+        assert d >= 0.99, f"sample {i}: real-data mask Dice {d:.5f} < 0.99"
+
+
+def test_body_mask_fixed_sweep_path_matches_real_data(panels):
+    """The production fixed-sweep CC path (the one the vmapped volume chain
+    dispatches) must hit the same gate — the certificate fallback covers any
+    unconverged slice, and both paths must agree on real topology."""
+    inputs, gts = panels
+    for i in range(inputs.shape[0]):
+        v = inputs[i].astype(np.float32) / 255.0
+        m_fix, ok = maskops.body_mask(v, with_cc_flag=True)
+        m_fix = np.asarray(m_fix).astype(bool)
+        if not bool(np.asarray(ok)):
+            # production fallback: exact while_loop fixpoint
+            m_fix = np.asarray(
+                maskops.body_mask(v, cc_sweeps=None)).astype(bool)
+        d = _dice(m_fix, gts[i])
+        assert d >= 0.99, f"sample {i}: fixed-sweep mask Dice {d:.5f}"
+
+
+def test_full_preprocess_chain_on_real_data(panels):
+    """The FULL production volume chain (percentile clip -> Otsu mask ->
+    resize -> z-score, one vmapped dispatch incl. the exact-CC fallback) on
+    the real slices:
+
+      1. the produced mask matches the reference's committed GT mask
+         (Dice >= 0.99 per slice);
+      2. the z-scored tensor, re-rendered exactly like the reference's
+         engine (min-max -> uint8, engine.py:53-55), reproduces the
+         committed Input panel to +-1 gray level — pinning the clip/z-score
+         chain as tightly as the 8-bit artifact permits.
+    """
+    inputs, gts = panels
+    stack = inputs.astype(np.float32) / 255.0
+    pp = MRIKneePreprocessor(slice_keep=(0.0, 1.0), out_size=(320, 320))
+    out = pp.preprocess_volume_images(stack)
+    mk = out["mask"].astype(bool)
+    for i in range(inputs.shape[0]):
+        d = _dice(mk[i], gts[i])
+        assert d >= 0.99, f"sample {i}: full-chain mask Dice {d:.5f}"
+        z = out["tensor"][i, 0]
+        r = (z - z.min()) / (z.max() - z.min() + 1e-6)
+        rendered = np.round(r * 255).astype(np.int32)
+        diff = np.abs(rendered - inputs[i].astype(np.int32))
+        assert diff.max() <= 1, (
+            f"sample {i}: re-rendered z-score deviates {diff.max()} gray "
+            f"levels from the committed panel")
