@@ -31,6 +31,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "model", "encoder", "encoder_weights", "aug", "imagenet_norm", "k",
     "classes", "logger", "save_val_probs", "max_grad_norm", "amp", "seed",
     "data_parallel", "store_dtype", "resume", "save_resume_every",
+    "save_resume_steps",
     "profile_epochs", "store_sharded", "remat", "accum_steps",
     "ckpt_backend",
 )
@@ -204,6 +205,11 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--resume", action="store_true",
                      help="Resume from the newest snapshot in out-dir.")
     tpu.add_argument("--save-resume-every", type=int, default=0)
+    tpu.add_argument("--save-resume-steps", type=int, default=0,
+                     help="Mid-epoch resumable snapshot every N steps "
+                          "(step-indexed data-iterator state; kill-then-"
+                          "resume continues inside the epoch, bit-equal "
+                          "to an uninterrupted run).")
     tpu.add_argument("--ckpt-backend", default="msgpack",
                      choices=["msgpack", "orbax"],
                      help="Resume-snapshot format. orbax saves sharded "

@@ -53,7 +53,22 @@ def load_best(path: str, target_params, target_batch_stats) -> Tuple[Any, Any]:
 
 def _orbax_checkpointer():
     import orbax.checkpoint as ocp
-    return ocp, ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    # StandardCheckpointer is the supported convenience wrapper around
+    # StandardCheckpointHandler (the legacy Checkpointer(handler) spelling
+    # is deprecated for removal in orbax v1.x).
+    return ocp, ocp.StandardCheckpointer()
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _multihost_sync(name: str) -> None:
+    """Barrier across hosts (no-op single-host). Used to order the
+    primary-only filesystem protocol around orbax's collective save."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def save_train_state(dirpath: str, state, host_state: Dict[str, Any],
@@ -72,30 +87,55 @@ def save_train_state(dirpath: str, state, host_state: Dict[str, Any],
         raise ValueError(f"unknown checkpoint backend {backend!r} "
                          "(expected 'msgpack' or 'orbax')")
     tmp = dirpath + ".tmp"
-    if os.path.isdir(tmp):
-        import shutil
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
+    # Filesystem protocol (tmp setup, host.json, swap-in rename) runs on
+    # process 0 ONLY; on a shared filesystem N uncoordinated hosts would
+    # race the rmtree/os.replace (a second replace fails after the first
+    # consumed tmp, and an rmtree can delete another host's in-flight
+    # shard writes). Only the inner orbax save itself is collective.
+    if _is_primary():
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
     if backend == "orbax":
+        # all hosts must see the (re)created tmp dir before the collective
+        # per-shard writes start
+        _multihost_sync("ckpt:tmp-ready")
         _, ckptr = _orbax_checkpointer()
         ckptr.save(os.path.abspath(os.path.join(tmp, "state.orbax")), state)
-    else:
+        # StandardCheckpointer is an AsyncCheckpointer: block until every
+        # shard write has committed before the primary renames the dir
+        ckptr.wait_until_finished()
+        _multihost_sync("ckpt:save-done")
+    elif _is_primary():
+        # msgpack gathers to host memory — single-writer by construction
         with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(state)))
-    with open(os.path.join(tmp, "host.json"), "w", encoding="utf-8") as f:
-        json.dump(host_state, f, indent=2)
-    if os.path.isdir(dirpath):
-        import shutil
-        shutil.rmtree(dirpath)
-    os.replace(tmp, dirpath)
+    if _is_primary():
+        with open(os.path.join(tmp, "host.json"), "w", encoding="utf-8") as f:
+            json.dump(host_state, f, indent=2)
+        if os.path.isdir(dirpath):
+            import shutil
+            shutil.rmtree(dirpath)
+        os.replace(tmp, dirpath)
+    # no host may return (and e.g. start the next epoch's snapshot) while
+    # the primary is still swapping the snapshot in
+    _multihost_sync("ckpt:published")
 
 
 def save_resume(out_dir: str, epoch: int, state,
                 host_state: Dict[str, Any],
-                backend: str = "msgpack") -> str:
-    """Owns the checkpoints/resume_%06d naming convention (paired with
-    latest_resume_dir); used by every trainer."""
-    d = os.path.join(out_dir, "checkpoints", f"resume_{epoch:06d}")
+                backend: str = "msgpack", step: Optional[int] = None) -> str:
+    """Owns the checkpoints/resume_%06d[_%06d] naming convention (paired
+    with latest_resume_dir); used by every trainer.
+
+    ``step`` marks a MID-epoch snapshot: ``epoch`` is then the number of
+    fully completed epochs (so ``resume_000004_000300`` = epoch 4 done +
+    300 steps into epoch 5) — the tuple sort in latest_resume_dir then
+    orders (4,) < (4,300) < (5,) chronologically."""
+    name = f"resume_{epoch:06d}" if step is None else \
+        f"resume_{epoch:06d}_{step:06d}"
+    d = os.path.join(out_dir, "checkpoints", name)
     save_train_state(d, state, host_state, backend=backend)
     return d
 
@@ -112,8 +152,7 @@ def load_train_state(dirpath: str, target_state) -> Tuple[Any, Dict[str, Any]]:
     orbax_dir = os.path.join(dirpath, "state.orbax")
     if os.path.isdir(orbax_dir):
         ocp, ckptr = _orbax_checkpointer()
-        state = ckptr.restore(os.path.abspath(orbax_dir),
-                              args=ocp.args.StandardRestore(target_state))
+        state = ckptr.restore(os.path.abspath(orbax_dir), target_state)
     else:
         with open(os.path.join(dirpath, "state.msgpack"), "rb") as f:
             state = serialization.from_bytes(target_state, f.read())
@@ -141,5 +180,9 @@ def latest_resume_dir(out_dir: str) -> Optional[str]:
             cands.append(d)
     if not cands:
         return None
-    cands.sort(key=lambda d: int(d.split("_")[1]))
+    # tuple sort: (epochs_done,) < (epochs_done, step) < (epochs_done+1,)
+    # — an epoch-boundary snapshot outranks any mid-epoch one of the SAME
+    # completed-epoch count only if it has more completed epochs; see
+    # save_resume's naming contract.
+    cands.sort(key=lambda d: tuple(int(p) for p in d.split("_")[1:]))
     return os.path.join(root, cands[-1])

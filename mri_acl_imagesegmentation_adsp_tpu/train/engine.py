@@ -128,6 +128,9 @@ class Engine:
         self._train_epoch_c = jax.jit(
             self._train_epoch, static_argnames=("batch_size",),
             donate_argnums=donate_args)
+        self._train_steps_c = jax.jit(
+            self._train_steps, static_argnames=("batch_size",),
+            donate_argnums=donate_args)
         self._eval_batches_c = jax.jit(self._eval_batches,
                                        static_argnames=("batch_size",))
         self._eval_per_slice_c = jax.jit(self._eval_per_slice)
@@ -211,6 +214,21 @@ class Engine:
                      perm, aug_key, batch_size: int):
         """scan over (steps, batch) permutation; returns per-step losses.
 
+        The per-step aug keys are ``jax.random.split(aug_key, steps)``;
+        threefry splitting is prefix-consistent in ``steps``, so running
+        the same permutation through _train_steps in CHUNKS (host-side
+        split, key rows sliced per chunk — the step-indexed mid-epoch
+        snapshot path) is bit-identical to this whole-epoch dispatch.
+        """
+        keys = jax.random.split(aug_key, perm.shape[0])
+        return self._train_steps(state, images, masks, neighbors, perm,
+                                 keys, batch_size)
+
+    def _train_steps(self, state: TrainState, images, masks, neighbors,
+                     perm, keys, batch_size: int):
+        """scan over (steps, batch) permutation rows with EXPLICIT per-step
+        aug keys; returns per-step losses.
+
         With accum_steps=N the permutation is viewed as (steps/N, N, batch):
         an inner scan accumulates the N microbatch gradients (BatchNorm
         running stats update sequentially, exactly as N separate steps
@@ -218,7 +236,6 @@ class Engine:
         back per microbatch either way, so CSV step logging is unchanged.
         """
         steps = perm.shape[0]
-        keys = jax.random.split(aug_key, steps)
         accum = self.accum_steps
 
         if accum <= 1:
@@ -366,6 +383,26 @@ class Engine:
             perm = perm[:steps]
         return self._train_epoch_c(
             state, store.images, store.masks, store.neighbors, perm, aug_key,
+            batch_size=int(perm.shape[1]))
+
+    def train_steps_async(self, state: TrainState, store: DeviceSliceStore,
+                          perm: jnp.ndarray, keys: jnp.ndarray
+                          ) -> Tuple[TrainState, jnp.ndarray]:
+        """Dispatch a CHUNK of an epoch: permutation rows + their per-step
+        aug keys (rows of ``jax.random.split(epoch_aug_key, total_steps)``).
+
+        This is the step-indexed mid-epoch snapshot path (SURVEY.md §5.3):
+        the trainer slices one epoch's (perm, keys) into chunks, snapshots
+        resumable state between chunks, and — because threefry key splits
+        are prefix-consistent and the scan body is identical — the chunked
+        run is bit-identical to the whole-epoch dispatch.
+        """
+        if self.accum_steps > 1 and perm.shape[0] % self.accum_steps:
+            raise ValueError(
+                f"chunk of {perm.shape[0]} steps does not align to "
+                f"accum_steps={self.accum_steps}")
+        return self._train_steps_c(
+            state, store.images, store.masks, store.neighbors, perm, keys,
             batch_size=int(perm.shape[1]))
 
     @staticmethod

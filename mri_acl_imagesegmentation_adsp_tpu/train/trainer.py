@@ -82,6 +82,7 @@ class UNet2DArgs:
     store_dtype: str = "float32"             # float32|bfloat16 slice store
     resume: bool = False                     # resume from newest snapshot
     save_resume_every: int = 0               # epochs between resume snapshots
+    save_resume_steps: int = 0               # steps between MID-epoch snapshots
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
     store_sharded: bool = False              # shard slice store over the mesh
     multihost: bool = False                  # jax.distributed multi-host (DCN)
@@ -131,6 +132,10 @@ class UNet2DTrainer:
 
         self.scheduler = ReduceLROnPlateau(
             lr=args.lr, mode="min", factor=0.5, patience=3)
+
+        # pending step-indexed mid-epoch resume point (set by _try_resume
+        # when the newest snapshot was taken between chunks of an epoch)
+        self._mid_resume: Optional[Dict[str, Any]] = None
 
         if args.resume:
             self._try_resume()
@@ -222,11 +227,36 @@ class UNet2DTrainer:
                              self._host_state(),
                              backend=self.args.ckpt_backend)
 
+    def _save_mid_resume(self, epoch: int, steps_done: int,
+                         ep_key: jax.Array, aug_key: jax.Array,
+                         losses: np.ndarray) -> None:
+        """Step-indexed MID-epoch snapshot (SURVEY.md §5.3 rebuild spec).
+
+        Besides the device state, it freezes the data-iterator position:
+        the epoch's permutation key (the permutation itself is a pure
+        function of it), the epoch aug key (per-step keys are its
+        prefix-consistent split), the number of consumed permutation rows,
+        and the per-step losses already produced — everything needed for
+        kill-then-resume to be bit-identical to an uninterrupted run.
+        """
+        host = self._host_state()
+        host["epoch_next"] = epoch      # fallback if mid_epoch is ignored
+        host["mid_epoch"] = {
+            "epoch": int(epoch),
+            "steps_done": int(steps_done),
+            "ep_key": np.asarray(jax.random.key_data(ep_key)).tolist(),
+            "aug_key": np.asarray(jax.random.key_data(aug_key)).tolist(),
+            "losses": [float(v) for v in np.asarray(losses)],
+        }
+        ckpt_lib.save_resume(str(self.out_dir), epoch - 1, self.state, host,
+                             backend=self.args.ckpt_backend, step=steps_done)
+
     def _try_resume(self) -> None:
         d = ckpt_lib.latest_resume_dir(str(self.out_dir))
         if d is None:
             return
         self.state, host = ckpt_lib.load_train_state(d, self.state)
+        self._mid_resume = host.get("mid_epoch")
         self.start_epoch = host["epoch_next"]
         self.global_step = host["global_step"]
         self.best_metric = host["best_metric"]
@@ -235,7 +265,51 @@ class UNet2DTrainer:
         self.scheduler.load_state_dict(host["scheduler"])
         self.rng = jax.random.wrap_key_data(
             jnp.asarray(host["rng"], jnp.uint32))
-        print(f"[resume] restored {d}, continuing at epoch {self.start_epoch}")
+        at = f"epoch {self.start_epoch}"
+        if self._mid_resume:
+            at += f" step {self._mid_resume['steps_done']}"
+        print(f"[resume] restored {d}, continuing at {at}")
+
+    def _train_epoch_chunked(self, ep: int, ep_key: jax.Array,
+                             aug_key: jax.Array, perm: jnp.ndarray,
+                             mid: Optional[Dict[str, Any]]):
+        """One epoch as save_resume_steps-sized chunks with a resumable
+        snapshot between chunks.
+
+        Bit-identical to the whole-epoch dispatch: the permutation and the
+        per-step key table are computed once for the FULL epoch and sliced
+        per chunk (threefry splits are prefix-consistent), and the scan
+        body is the same jitted _train_steps. ``mid`` (from a restored
+        snapshot) skips the already-consumed permutation rows and seeds the
+        loss list with the recorded per-step losses.
+        """
+        a = self.args
+        accum = max(1, a.accum_steps)
+        chunk = max(1, a.save_resume_steps)
+        chunk = max(accum, (chunk // accum) * accum)  # align to accum groups
+        total = int(perm.shape[0]) - int(perm.shape[0]) % accum
+        perm = perm[:total]
+        keys = jax.random.split(aug_key, total)
+        done = 0
+        losses_parts = []
+        if mid is not None:
+            done = min(int(mid["steps_done"]), total)
+            losses_parts.append(np.asarray(mid["losses"], np.float32))
+        while done < total:
+            n = min(chunk, total - done)
+            self.state, losses_dev = self.engine.train_steps_async(
+                self.state, self.train_store, perm[done:done + n],
+                keys[done:done + n])
+            losses_parts.append(self.engine.check_epoch_losses(
+                losses_dev, self.state, accum))
+            done += n
+            if done < total:
+                self._save_mid_resume(
+                    ep, done, ep_key, aug_key,
+                    np.concatenate(losses_parts) if losses_parts
+                    else np.zeros(0, np.float32))
+        return (np.concatenate(losses_parts) if losses_parts
+                else np.zeros(0, np.float32))
 
     # ------------------------------------------------------------------
     # Best checkpoint / val probs
@@ -317,7 +391,20 @@ class UNet2DTrainer:
         #                                 start_epoch, profiling must not re-arm
 
         for ep in range(self.start_epoch, a.epochs + 1):
-            ep_key, aug_key, self.rng = jax.random.split(self.rng, 3)
+            mid = None
+            if self._mid_resume and int(self._mid_resume["epoch"]) == ep:
+                # mid-epoch resume: the epoch's keys were already split off
+                # self.rng before the snapshot — reuse the recorded ones
+                # (self.rng was saved post-split, so the RNG stream
+                # continues exactly as the uninterrupted run would)
+                mid, self._mid_resume = self._mid_resume, None
+                ep_key = jax.random.wrap_key_data(
+                    jnp.asarray(mid["ep_key"], jnp.uint32))
+                aug_key = jax.random.wrap_key_data(
+                    jnp.asarray(mid["aug_key"], jnp.uint32))
+            else:
+                self._mid_resume = None
+                ep_key, aug_key, self.rng = jax.random.split(self.rng, 3)
             perm = epoch_permutation(ep_key, n_train, a.batch_size,
                                      drop_last=True)
             lr_now = self.scheduler.lr
@@ -333,6 +420,15 @@ class UNet2DTrainer:
                 jax.profiler.stop_trace()
                 val_loss, val_dice, val_iou = self.engine.validate(
                     self.state, self.val_store, val_bs)
+            elif a.save_resume_steps > 0:
+                # step-indexed mid-epoch snapshots: chunked dispatch,
+                # snapshot between chunks (syncs per chunk by construction)
+                step_losses = self._train_epoch_chunked(
+                    ep, ep_key, aug_key, perm, mid)
+                val_loss, val_dice, val_iou = self.engine.validate(
+                    self.state, self.val_store, val_bs)
+                train_loss = float(
+                    step_losses.sum() * a.batch_size / n_train)
             else:
                 # async epoch dispatch: validation enqueues right behind the
                 # train scan and the host syncs ONCE on the val metrics —
