@@ -57,9 +57,13 @@ Client example:
   req = urllib.request.Request(url + "/v1/segment", data=buf.getvalue())
   out = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
 
-Single-device serving; requests are serialized around the device (the
-chip is the throughput bound either way — a ThreadingHTTPServer accepts
-concurrent connections so health checks never queue behind inference).
+Single-device serving; requests are serialized around the device (a
+ThreadingHTTPServer accepts concurrent connections so health checks never
+queue behind inference). Under concurrent load, --microbatch-window-ms
+coalesces /v1/segment requests arriving within the window into ONE device
+dispatch (infer.segment_volumes_2d) — per-request results equal to
+float-reassociation tolerance, higher aggregate RPS than queueing on the
+lock.
 """
 
 from __future__ import annotations
@@ -76,13 +80,97 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+class _MicroBatcher:
+    """Coalesces concurrent /v1/segment requests into ONE device dispatch.
+
+    Without this the daemon serializes the chip per request (the r3 design:
+    one lock, one volume per dispatch) — concurrent clients queue and each
+    pays a full dispatch. With a bounded wait window (default 5 ms), the
+    first request to arrive waits for followers; everything pending is then
+    segmented in one ``segment_volumes_2d`` scan (numerically equivalent
+    to the per-request path — per-volume neighbor stacks, per-slice eval
+    model; see segment_volumes_2d's tolerance note).
+    Requests with mismatched (H, W) are grouped and dispatched per shape.
+
+    One dedicated dispatcher thread owns the device; handler threads block
+    on a per-request event. A failed GROUP dispatch retries each item
+    individually so a poisoned request only fails itself.
+    """
+
+    def __init__(self, runner: "_ModelRunner", window_ms: float = 5.0,
+                 max_group: int = 64):
+        self.runner = runner
+        self.window = max(0.0, float(window_ms)) / 1000.0
+        self.max_group = int(max_group)
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-microbatch")
+        self._thread.start()
+
+    class _Item:
+        __slots__ = ("vol", "thr", "event", "out", "exc")
+
+        def __init__(self, vol, thr):
+            self.vol = vol
+            self.thr = thr          # None = probabilities; else mask-only
+            self.event = threading.Event()
+            self.out = None
+            self.exc = None
+
+    def submit(self, vol: np.ndarray, thr=None) -> np.ndarray:
+        """Blocking: returns (S,C,H,W) probabilities (thr None) or the
+        (S,H,W) uint8 mask thresholded on device (thr set)."""
+        it = self._Item(vol, thr)
+        with self._cv:
+            self._pending.append(it)
+            self._cv.notify()
+        it.event.wait()
+        if it.exc is not None:
+            raise it.exc
+        return it.out
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+            if self.window:
+                time.sleep(self.window)     # bounded coalescing wait
+            with self._cv:
+                group, self._pending = (self._pending[:self.max_group],
+                                        self._pending[self.max_group:])
+            # one dispatch per ((H, W), threshold-mode) group
+            by_key: dict = {}
+            for it in group:
+                by_key.setdefault((tuple(it.vol.shape[-2:]), it.thr),
+                                  []).append(it)
+            for (_, thr), items in by_key.items():
+                try:
+                    outs = self.runner.segment_many(
+                        [it.vol for it in items], thr)
+                    for it, out in zip(items, outs):
+                        it.out = out
+                except Exception:
+                    # retry individually: only the poisoned item fails
+                    for it in items:
+                        try:
+                            it.out = self.runner.segment_many(
+                                [it.vol], it.thr)[0]
+                        except Exception as exc:   # noqa: BLE001
+                            it.exc = exc
+                for it in items:
+                    it.event.set()
+
+
 class _ModelRunner:
     """Owns the bound apply_fn + metadata; serializes device access."""
 
     task = "segment"
 
     def __init__(self, apply_fn, k: int, classes: int, source: str,
-                 batch_size: int, pre_out_size=(320, 320), mesh=None):
+                 batch_size: int, pre_out_size=(320, 320), mesh=None,
+                 microbatch_window_ms: float = 0.0):
         self.apply_fn = apply_fn
         self.k = k
         self.classes = classes
@@ -105,38 +193,62 @@ class _ModelRunner:
         # jitted chain caches on instance identity (static self), so one
         # instance per band keeps requests compile-free after the first
         self._pres: dict = {}
+        # cross-request micro-batching (window > 0): /v1/segment requests
+        # coalesce into one dispatch instead of queueing on the lock
+        self.batcher = (_MicroBatcher(self, microbatch_window_ms)
+                        if microbatch_window_ms > 0 else None)
 
     def count_error(self) -> None:
         """Thread-safe error-counter bump (handler threads race)."""
         with self.stats_lock:
             self.errors += 1
 
-    def segment(self, vol: np.ndarray, threshold: float,
-                want_probs: bool) -> dict:
-        from ..infer import segment_volume_2d
+    def segment_many(self, vols, mask_threshold=None) -> list:
+        """One device dispatch for a GROUP of volumes (micro-batch path);
+        also the single-volume workhorse. Returns [(S_i,C,H,W) probs], or
+        [(S_i,H,W) uint8 masks] with mask_threshold set (thresholded on
+        device — 4x less download for the mask-only default request)."""
+        from ..infer import segment_volumes_2d
 
-        if vol.ndim not in (3, 4):
-            raise ValueError(f"img must be (S,H,W) or (S,1,H,W), "
-                             f"got shape {vol.shape}")
         with self._lock:
             t0 = time.perf_counter()
-            probs = segment_volume_2d(self.apply_fn, vol.astype(np.float32),
-                                      k=self.k, batch_size=self.batch_size,
-                                      classes=self.classes, mesh=self.mesh)
+            outs = segment_volumes_2d(
+                self.apply_fn, [v.astype(np.float32) for v in vols],
+                k=self.k, batch_size=self.batch_size,
+                classes=self.classes, mesh=self.mesh,
+                masks_only_threshold=mask_threshold)
             dt = time.perf_counter() - t0
             with self.stats_lock:
                 self.last_latency_s = dt
                 self.seconds += dt
-                self.requests += 1
-                self.slices += int(vol.shape[0])
+                self.requests += len(vols)
+                self.slices += int(sum(v.shape[0] for v in vols))
+        return outs
+
+    def segment(self, vol: np.ndarray, threshold: float,
+                want_probs: bool) -> dict:
+        if vol.ndim not in (3, 4):
+            raise ValueError(f"img must be (S,H,W) or (S,1,H,W), "
+                             f"got shape {vol.shape}")
+        vol = vol.astype(np.float32)
+        if not want_probs:
+            # mask-only (the default request): threshold ON DEVICE and
+            # download S*H*W uint8 instead of S*C*H*W float32
+            thr = float(threshold)
+            if self.batcher is not None:
+                mask = self.batcher.submit(vol, thr)
+            else:
+                mask = self.segment_many([vol], thr)[0]
+            return {"mask": mask}
+        if self.batcher is not None:
+            probs = self.batcher.submit(vol)
+        else:
+            probs = self.segment_many([vol])[0]
         if self.classes == 1:
             mask = (probs[:, 0] > threshold).astype(np.uint8)
         else:
             mask = probs.argmax(axis=1).astype(np.uint8)
-        out = {"mask": mask}
-        if want_probs:
-            out["probs"] = probs
-        return out
+        return {"mask": mask, "probs": probs}
 
     def segment_kspace(self, kpair: np.ndarray, threshold: float,
                        want_probs: bool,
@@ -188,7 +300,8 @@ class _ModelRunner:
         dispatch is NOT a served request — counters are reset afterwards
         so /healthz + /metricsz start clean (no compile-time poisoning of
         latency gauges)."""
-        self.segment(np.zeros(shape, np.float32), 0.5, False)
+        self.segment(np.zeros(shape, np.float32), 0.5, False)  # mask path
+        self.segment(np.zeros(shape, np.float32), 0.5, True)   # probs path
         with self.stats_lock:
             self.requests = self.slices = 0
             self.seconds = self.last_latency_s = 0.0
@@ -359,6 +472,8 @@ def _build_runner(args):
         from ..parallel import make_mesh
         mesh = make_mesh(int(args.data_parallel))
 
+    window = float(getattr(args, "microbatch_window_ms", 0.0) or 0.0)
+
     if args.qtree:
         from .quantize import load_engine
         eng, qtree, meta = load_engine(args.qtree)
@@ -368,7 +483,8 @@ def _build_runner(args):
             return eng.apply(qtree, norm(x))
 
         return _ModelRunner(apply_fn, meta["k"], meta["classes"], "qtree",
-                            args.batch_size, pre_out_size=pre_out, mesh=mesh)
+                            args.batch_size, pre_out_size=pre_out, mesh=mesh,
+                            microbatch_window_ms=window)
 
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     norm = make_input_norm(bool(margs.get("imagenet_norm")))
@@ -379,7 +495,8 @@ def _build_runner(args):
 
     return _ModelRunner(apply_fn, margs.get("k", 1),
                         margs.get("classes", 1), "ckpt", args.batch_size,
-                        pre_out_size=pre_out, mesh=mesh)
+                        pre_out_size=pre_out, mesh=mesh,
+                        microbatch_window_ms=window)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -527,6 +644,12 @@ def main(argv=None) -> int:
                    help="'S,H,W' to pre-compile at the production volume "
                         "shape before accepting requests (e.g. 16,320,320); "
                         "empty = no warmup, first request pays the compile")
+    p.add_argument("--microbatch-window-ms", type=float, default=0.0,
+                   help="coalesce concurrent /v1/segment requests arriving "
+                        "within this window into ONE device dispatch "
+                        "(--task segment; 0 = off). Results match the "
+                        "per-request path to float tolerance; try 5 under "
+                        "concurrent load")
     args = p.parse_args(argv)
     if not args.ckpt and not args.qtree:
         p.error("one of --ckpt / --qtree is required")

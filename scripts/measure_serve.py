@@ -104,6 +104,43 @@ def main():
         klat.append(time.perf_counter() - t1)
     kspace_rate = max(2, REQS // 2) * S / (time.perf_counter() - t0)
 
+    # concurrency series: N simultaneous clients, lock-serialized (window
+    # 0) vs micro-batched (window 5 ms) — the VERDICT r3 weak-#6 gate
+    def concurrent_rps(n_clients: int, reqs_each: int) -> float:
+        errs = []
+
+        def client():
+            try:
+                for _ in range(reqs_each):
+                    with urllib.request.urlopen(
+                            urllib.request.Request(url, data=body),
+                            timeout=600) as r:
+                        np.load(io.BytesIO(r.read()))["mask"]
+            except Exception as e:    # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=client) for _ in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        return n_clients * reqs_each * S / wall
+
+    conc_serialized = concurrent_rps(4, 2)
+    server.shutdown(); server.server_close()
+
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=BATCH,
+        warmup_shape=f"{S},{H},{W}", microbatch_window_ms=5.0))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d/v1/segment" % server.server_address[1]
+    concurrent_rps(4, 1)   # warm the grouped-batch shape
+    conc_microbatch = concurrent_rps(4, 2)
+
     # attribution: raw device rate of the same volume (no HTTP/codec)
     from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
 
@@ -124,6 +161,8 @@ def main():
         "served_kspace_latency_ms_per_volume": [round(1e3 * v, 1)
                                                 for v in klat],
         "raw_segment_slices_per_sec": round(raw_rate, 1),
+        "concurrent4_slices_per_sec_serialized": round(conc_serialized, 1),
+        "concurrent4_slices_per_sec_microbatch5ms": round(conc_microbatch, 1),
     }), flush=True)
 
 

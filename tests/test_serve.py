@@ -416,3 +416,156 @@ def test_serve_classify(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_segment_volumes_2d_exactly_equals_per_volume(served):
+    """The micro-batch primitive: grouped dispatch == per-volume dispatch
+    (per-volume neighbor stacks, per-slice eval model; float-epsilon
+    tolerance since the grouped path compiles a different batch shape)."""
+    from mri_acl_imagesegmentation_adsp_tpu.infer import (
+        segment_volume_2d, segment_volumes_2d)
+    _, apply_fn = served
+    rng = np.random.default_rng(5)
+    vols = [rng.standard_normal((s, 32, 32)).astype(np.float32)
+            for s in (3, 5, 2)]
+    grouped = segment_volumes_2d(apply_fn, vols, k=1, batch_size=4)
+    for v, got in zip(vols, grouped):
+        want = segment_volume_2d(apply_fn, v, k=1, batch_size=4)
+        # identical per-slice math; the grouped path compiles a different
+        # BATCH shape (4 vs min(4, s)), so XLA reassociation leaves
+        # float-epsilon differences — tolerance, not bitwise
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_segment_volumes_2d_25d_and_shape_guard(served):
+    from mri_acl_imagesegmentation_adsp_tpu.infer import (
+        segment_volume_2d, segment_volumes_2d)
+    _, apply_fn = served
+
+    # 2.5-D: neighbor channels must NOT cross volume boundaries
+    model = build_unet("unet", "resnet18", "none", in_ch=3, classes=1)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 32, 32, 3)), train=True)
+
+    def apply3(x):
+        return model.apply(variables, x, train=False)
+
+    rng = np.random.default_rng(6)
+    vols = [rng.standard_normal((4, 32, 32)).astype(np.float32)
+            for _ in range(2)]
+    grouped = segment_volumes_2d(apply3, vols, k=3, batch_size=4)
+    for v, got in zip(vols, grouped):
+        np.testing.assert_allclose(
+            got, segment_volume_2d(apply3, v, k=3, batch_size=4),
+            atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="share"):
+        segment_volumes_2d(apply_fn, [vols[0],
+                                      vols[1][:, :16, :]], k=1)
+
+
+def test_serve_microbatching_concurrent_equals_direct(tmp_path):
+    """Concurrent clients against a --microbatch-window-ms daemon: every
+    response equals the direct per-volume oracle, and the group coalesces
+    into fewer device dispatches than requests."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 1, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp_path / "mb.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+        warmup_shape="2,32,32", microbatch_window_ms=50.0))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    runner = server.RequestHandlerClass.runner
+    assert runner.batcher is not None
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    rng = np.random.default_rng(7)
+    vols = [rng.standard_normal((3, 32, 32)).astype(np.float32)
+            for _ in range(4)]
+    results = [None] * len(vols)
+    # count device dispatches through the group API
+    calls = []
+    orig_many = runner.segment_many
+
+    def spy(vs, mask_threshold=None):
+        calls.append(len(vs))
+        return orig_many(vs, mask_threshold)
+
+    runner.segment_many = spy
+
+    def worker(i):
+        with _post_npz(url + "/v1/segment?probs=1", img=vols[i]) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                results[i] = z["probs"].copy()
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(vols))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for v, got in zip(vols, results):
+        want = segment_volume_2d(apply_fn, v, k=1, batch_size=4)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # coalescing happened: fewer dispatches than requests, none dropped
+    assert sum(calls) == len(vols)
+    assert len(calls) < len(vols), calls
+
+    server.shutdown()
+    server.server_close()
+
+
+def test_mask_only_on_device_threshold_matches_host(served):
+    """segment_volumes_2d(masks_only_threshold=...) (the serve daemon's
+    mask-only download path) vs host thresholding of the probability path:
+    any disagreement must sit within float epsilon of the threshold."""
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volumes_2d
+    _, apply_fn = served
+    rng = np.random.default_rng(8)
+    vols = [rng.standard_normal((4, 32, 32)).astype(np.float32)
+            for _ in range(2)]
+    masks = segment_volumes_2d(apply_fn, vols, k=1, batch_size=4,
+                               masks_only_threshold=0.5)
+    probs = segment_volumes_2d(apply_fn, vols, k=1, batch_size=4)
+    for m, p in zip(masks, probs):
+        assert m.dtype == np.uint8 and m.shape == (4, 32, 32)
+        host = (p[:, 0] > 0.5).astype(np.uint8)
+        disagree = m != host
+        assert np.abs(p[:, 0][disagree] - 0.5).max(initial=0.0) < 1e-5
+
+
+def test_serve_mask_only_request_uses_device_threshold(served):
+    """POST /v1/segment without ?probs returns the device-thresholded
+    mask; with ?probs the host-thresholded mask — both match the oracle."""
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+    url, apply_fn = served
+    rng = np.random.default_rng(9)
+    vol = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    want_probs = segment_volume_2d(apply_fn, vol, k=1, batch_size=4)
+    with _post_npz(url + "/v1/segment", img=vol) as r:
+        with np.load(io.BytesIO(r.read())) as z:
+            mask_only = z["mask"].copy()
+            assert "probs" not in z.files
+    with _post_npz(url + "/v1/segment?probs=1", img=vol) as r:
+        with np.load(io.BytesIO(r.read())) as z:
+            mask_with = z["mask"].copy()
+            probs = z["probs"].copy()
+    np.testing.assert_allclose(probs, want_probs, atol=1e-5, rtol=1e-5)
+    host = (want_probs[:, 0] > 0.5).astype(np.uint8)
+    for m in (mask_only, mask_with):
+        disagree = m != host
+        assert np.abs(want_probs[:, 0][disagree] - 0.5
+                      ).max(initial=0.0) < 1e-5
