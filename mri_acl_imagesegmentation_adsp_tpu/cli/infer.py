@@ -77,9 +77,18 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each inference batch over N devices "
                         "(params replicated; batch rounds up to N)")
+    p.add_argument("--ckpt3d",
+                   help="3-D checkpoint (trainer3d best3d.ckpt): run "
+                        "WHOLE-volume 3-D inference instead of 2-D slices")
+    p.add_argument("--spatial-parallel", type=int, default=1,
+                   help="with --ckpt3d: depth-shard the whole volume over "
+                        "N devices (GSPMD halo exchange — volumes larger "
+                        "than one chip's HBM)")
     args = p.parse_args(argv)
+    if args.ckpt3d:
+        return _run_3d(args)
     if not args.ckpt and not args.qtree:
-        p.error("one of --ckpt / --qtree is required")
+        p.error("one of --ckpt / --qtree / --ckpt3d is required")
 
     if args.qtree:
         from .quantize import load_engine
@@ -132,6 +141,93 @@ def main(argv=None) -> int:
                 norm(x), train=False)
 
     return _run(args, apply_fn, k, classes)
+
+
+def _run_3d(args) -> int:
+    """Whole-volume 3-D inference (optionally depth-sharded over a mesh).
+
+    Beyond-reference capability: the reference 3-D path can only ROI-crop
+    160x160x64 patches to fit one GPU (src/train/train_unet3d.py:39-54);
+    here the FULL volume runs in one forward, sharded along the slice axis
+    with --spatial-parallel N so per-device HBM holds 1/N of every
+    activation (parallel/spatial.py:unet3d_depth_sharded_apply).
+    """
+    import jax
+    from ..models import build_unet3d
+    from ..infer import evaluate_volume
+
+    with open(args.ckpt3d + ".args.json", "r", encoding="utf-8") as f:
+        margs = json.load(f)
+    classes = int(margs.get("classes", 1))
+    model = build_unet3d(channels=tuple(margs.get("channels",
+                                                  (32, 64, 128, 256, 320))),
+                         classes=classes,
+                         dtype=jnp.bfloat16 if margs.get("amp")
+                         else jnp.float32)
+    sample = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
+    params, batch_stats = ckpt_lib.load_best(
+        args.ckpt3d, variables["params"], variables.get("batch_stats", {}))
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    if args.spatial_parallel > 1:
+        from ..parallel.spatial import (
+            make_depth_mesh, unet3d_depth_sharded_apply)
+        mesh = make_depth_mesh(args.spatial_parallel)
+        runner = unet3d_depth_sharded_apply(model, variables, mesh)
+    else:
+        jfwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        runner = lambda x: jfwd(variables, x)   # noqa: E731
+
+    out_root = Path(args.out_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    summary = []
+    for path in read_list(args.list_txt):
+        with np.load(path) as z:
+            vol = z["img"].astype(np.float32)      # (S,1,H,W)
+            gt = z["msk"].astype(np.uint8)
+        # per-volume z-score (KneeNPZ3D._load semantics, trainer3d.py)
+        mu, sd = float(vol.mean()), float(vol.std() + 1e-6)
+        x = ((vol - mu) / sd)[None, :, 0, :, :, None]   # (1,S,H,W,1)
+        # zero-pad (S,H,W) up to the model's 2^4 downsampling stride (the
+        # transpose-conv up path doubles exactly, so each dim must divide
+        # by 16); logits are cropped back below. Real fastMRI volumes are
+        # 320x320 with S ~ 30-45, so the depth pad is the common case.
+        s0, h0, w0 = x.shape[1:4]
+        pads = [(0, -d % 16) for d in (s0, h0, w0)]
+        if any(p[1] for p in pads):
+            x = np.pad(x, [(0, 0), *pads, (0, 0)])
+        logits = np.asarray(runner(jnp.asarray(x)), np.float32)
+        logits = logits[:, :s0, :h0, :w0]
+        if classes == 1:
+            probs = 1.0 / (1.0 + np.exp(-logits[0, ..., 0]))   # (S,H,W)
+            pred = (probs > args.threshold).astype(np.uint8)
+        else:
+            e = np.exp(logits[0] - logits[0].max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            pred = np.argmax(probs, axis=-1).astype(np.uint8)
+
+        vol_dir = out_root / Path(path).parent.name
+        vol_dir.mkdir(parents=True, exist_ok=True)
+        np.save(vol_dir / "pred_mask.npy", pred)
+        if args.save_probs:
+            np.savez_compressed(vol_dir / "probs.npz", probs=probs)
+        entry = {"volume": path, "num_slices": int(vol.shape[0]),
+                 "pred_path": str(vol_dir / "pred_mask.npy")}
+        if args.metrics and classes == 1:
+            entry.update(evaluate_volume(pred, gt))
+        summary.append(entry)
+        msg = (f"[infer3d] {Path(path).parent.name}: whole volume "
+               f"{vol.shape[0]} slices"
+               + (f" over {args.spatial_parallel} shards"
+                  if args.spatial_parallel > 1 else ""))
+        if "dice" in entry:
+            msg += f" dice {entry['dice']:.4f}"
+        print(msg)
+
+    with (out_root / "summary.json").open("w", encoding="utf-8") as f:
+        json.dump(summary, f, indent=2)
+    return 0
 
 
 def _run(args, apply_fn, k: int, classes: int) -> int:

@@ -133,3 +133,77 @@ def conv3d_stack_depth_sharded(x: jnp.ndarray, kernels, mesh: Mesh,
     fn = _stack_fn(mesh, axis, halos)
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     return fn(xs, *kernels)
+
+
+# ---------------------------------------------------------------------------
+# Whole-model depth sharding (GSPMD) — the FULL 3-D U-Net, not just SAME
+# conv stacks
+# ---------------------------------------------------------------------------
+
+_JITTED_MODELS: dict = {}
+
+
+def make_depth_mesh(n: int, axis: str = "depth") -> Mesh:
+    """1-D mesh over the first n devices for depth sharding."""
+    import numpy as np
+    devs = jax.devices()[:n]
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(jax.devices())}")
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def unet3d_depth_sharded_apply(model, variables, mesh: Mesh,
+                               axis: str = "depth"):
+    """Whole-volume forward of the REAL 3-D U-Net with the volume sharded
+    along depth (axis 1 of NDHWC) over the mesh.
+
+    Unlike the conv-stack demo above (manual ppermute halos, SAME stride-1
+    only), this partitions the complete ``models.unet3d.ResidualUNet3D``
+    program — stride-2 downsampling convs, InstanceNorm's global spatial
+    reductions, the phase-lowered transpose-conv upsampling, skip concats —
+    by jitting the unmodified model with a depth-sharded input/output spec
+    and letting XLA's SPMD partitioner insert the communication. On the
+    compiled module this yields halo ``collective-permute`` ops for the
+    strided/odd-kernel convs and ``all-reduce`` for the norm statistics,
+    and (asserted in tests/test_spatial.py) NO full-volume all-gather:
+    each device holds only its depth band of every activation, so
+    whole-volume 3-D inference scales past one chip's HBM — the capability
+    the reference dodges with 160x160x64 ROI crops
+    (src/train/train_unet3d.py:39-54).
+
+    Returns a callable ``f(x: (N, D, H, W, C)) -> logits`` (same layout);
+    the jitted program is cached per (model, mesh, axis).
+
+    Depth need NOT divide the mesh size: the sharding is applied as an
+    internal ``with_sharding_constraint`` (GSPMD pads the uneven band
+    internally), not as an ``in_shardings`` contract (which requires
+    divisibility). When depth DOES divide, ``run`` device_puts the input
+    pre-sharded so the host->device transfer is already banded and the
+    constraint is a no-op.
+    """
+    key = (id(model), id(mesh), axis)
+    fn = _JITTED_MODELS.get(key)
+    xsh = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    if fn is None:
+        def fwd(v, x):
+            x = jax.lax.with_sharding_constraint(x, xsh)
+            y = model.apply(v, x, train=False)
+            # on uneven bands GSPMD may legalize this to replicated; the
+            # interior still runs fully depth-sharded either way
+            return jax.lax.with_sharding_constraint(y, xsh)
+
+        fn = jax.jit(fwd, in_shardings=(rep, None))
+        _JITTED_MODELS[key] = fn
+
+    v = jax.device_put(variables, rep)
+
+    def run(x):
+        xs = jnp.asarray(x)
+        if xs.shape[1] % mesh.devices.size == 0:
+            xs = jax.device_put(xs, xsh)
+        return fn(v, xs)
+
+    run.jitted = fn          # exposed for compiled-HLO inspection in tests
+    run.variables = v
+    return run
