@@ -34,6 +34,10 @@ def psnr(gt: np.ndarray, pred: np.ndarray,
     if maxval is None:
         maxval = float(gt.max())
     err = np.mean((gt.astype(np.float64) - pred.astype(np.float64)) ** 2)
+    if err == 0.0:
+        # identical images: PSNR is +inf by definition; return it without
+        # tripping numpy's divide-by-zero RuntimeWarning
+        return float("inf")
     return float(10.0 * np.log10((maxval ** 2) / err))
 
 

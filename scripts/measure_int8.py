@@ -90,7 +90,10 @@ def probe_int8_conv():
     neither question could be answered in-process.
     """
     import subprocess
-    for tag, code, budget in (("f32", _PROBE_F32, 300),
+    # 600s f32 budget: with a queue of measurement scripts sharing the
+    # relay, a cold compile behind another process's drain exceeded the
+    # old 300s twice (r4 queue) even though the relay was healthy
+    for tag, code, budget in (("f32", _PROBE_F32, 600),
                               ("int8", _PROBE_INT8, 600)):
         try:
             out = subprocess.run([sys.executable, "-c", code],

@@ -139,6 +139,32 @@ def main():
         print(f"{name}_b32: {rate:.1f} slices/s ({ms:.2f} ms/step)",
               flush=True)
 
+    # batch scaling past 32 (r4): the train/infer MFU gap (29% vs 56%)
+    # suggests backward-conv efficiency wants a larger M dim too
+    for b in (64, 128):
+        rate, ms = measure(cases["base"], store, batch=b)
+        results[f"base_b{b}"] = (round(rate, 1), round(ms, 2))
+        print(f"base_b{b}: {rate:.1f} slices/s ({ms:.2f} ms/step)",
+              flush=True)
+
+    # bf16 slice store (r4): halves the gather+augment read traffic
+    rng16 = np.random.default_rng(0)
+    imgs = rng16.standard_normal((N, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[:H, :W]
+    msks = np.stack([((yy - H // 2) ** 2 + (xx - W // 2) ** 2 <
+                      (80 + (i % 40)) ** 2)
+                     for i in range(N)]).astype(np.int32)
+    store16 = SliceStore(images=imgs, masks=msks,
+                         vol_starts=np.asarray([0]),
+                         vol_sizes=np.asarray([N]),
+                         files=["bench"]).to_device(k=1,
+                                                    image_dtype=jnp.bfloat16)
+    for b in (8, 32):
+        rate, ms = measure(cases["base"], store16, batch=b)
+        results[f"base_store16_b{b}"] = (round(rate, 1), round(ms, 2))
+        print(f"base_store16_b{b}: {rate:.1f} slices/s ({ms:.2f} ms/step)",
+              flush=True)
+
     print(results)
 
 

@@ -86,7 +86,11 @@ o16 = pre_.preprocess_volumes_pairs([vol_pair],
                                     transfer_dtype="bfloat16")[0]
 d = np.abs(o32["tensor"] - o16["tensor"]).max()
 agree = (o32["mask"] == o16["mask"]).mean()
-assert d < 0.12, f"bf16 link transfer tensor dev {d:.2e} (bound 0.12)"
+# On-chip bound 5e-2: ~3x the measured TPU envelope (1.66e-2, ROADMAP r3
+# correction) — tighter than the shared CPU-test bound (0.12) so a real
+# accuracy regression in the bf16 path fails here first. The measured dev
+# is logged below for trend comparison across verify runs.
+assert d < 5e-2, f"bf16 link transfer tensor dev {d:.2e} (bound 5e-2)"
 assert agree > 0.995, f"bf16 link transfer mask agreement {agree:.4f}"
 step(f"   bf16 link transfer within tolerance (tensor dev {d:.2e}, "
      f"mask agree {agree:.4f})  OK")
