@@ -18,14 +18,17 @@ import os
 from pathlib import Path
 
 
-def reconstruct_case(fname: str, sequence: str, mesh=None) -> dict:
+def reconstruct_case(fname: str, sequence: str, mesh=None,
+                     transfer_dtype=None) -> dict:
     from ..data.recon_data import load_file_T2, load_file_dwi
     from ..recon import t2_reconstruction, dwi_reconstruction
     if sequence == "t2":
         kspace, calib, hdr, im_recon, atts = load_file_T2(fname)
-        return t2_reconstruction(kspace, calib, hdr, mesh=mesh)
+        return t2_reconstruction(kspace, calib, hdr, mesh=mesh,
+                                 transfer_dtype=transfer_dtype)
     kspace, calib, coil_sens, hdr = load_file_dwi(fname)
-    return dwi_reconstruction(kspace, calib, coil_sens, hdr, mesh=mesh)
+    return dwi_reconstruction(kspace, calib, coil_sens, hdr, mesh=mesh,
+                              transfer_dtype=transfer_dtype)
 
 
 def main(argv=None) -> int:
@@ -39,6 +42,12 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each case's slices over N devices "
                         "(slices are independent)")
+    p.add_argument("--transfer-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 halves the bulk k-space upload bytes "
+                        "(the case bottleneck on link-bound attachments); "
+                        "calibration/weight solves stay f32 — a bounded "
+                        "~0.4%% accuracy trade (see recon/t2.py)")
     args = p.parse_args(argv)
     mesh = None
     if args.data_parallel > 1:
@@ -56,7 +65,8 @@ def main(argv=None) -> int:
         if fname.suffix != ".h5":
             continue
         print(f"[recon] {fname.name} ({args.sequence})")
-        out = reconstruct_case(str(fname), args.sequence, mesh=mesh)
+        out = reconstruct_case(str(fname), args.sequence, mesh=mesh,
+                               transfer_dtype=args.transfer_dtype)
         save_recon(out, str(args.output_path / fname.name))
         n += 1
     print(f"[recon] reconstructed {n} case(s) -> {args.output_path}")

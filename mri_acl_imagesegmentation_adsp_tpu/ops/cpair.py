@@ -68,7 +68,7 @@ def to_pair(x) -> jnp.ndarray:
     return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
 
 
-def to_pair_device(x) -> jnp.ndarray:
+def to_pair_device(x, transfer_dtype: str = None) -> jnp.ndarray:
     """Host complex/real ndarray -> DEVICE (..., 2) float32 pair with zero
     host-side copies where possible.
 
@@ -79,14 +79,36 @@ def to_pair_device(x) -> jnp.ndarray:
     single-threaded NumPy before the device sees a byte (measured,
     scripts/measure_grappa_stages.py); callers should upload the contiguous
     layout and do any axis reordering ON DEVICE.
+
+    ``transfer_dtype="bfloat16"`` rounds the pair to bf16 on host and
+    upcasts to f32 on device — HALF the bytes on the host->device link, a
+    bandwidth/accuracy TRADE exactly like the preprocess bf16 link path
+    (data/preprocess.py preprocess_volumes_pairs): the recon chain's
+    matmuls run at HIGHEST precision, so the ~0.4% relative pre-round
+    error propagates instead of being absorbed (tolerance gates live with
+    the callers). Default None = exact f32.
     """
+    if transfer_dtype not in (None, "float32", "bfloat16"):
+        raise ValueError(f"unsupported transfer_dtype {transfer_dtype!r}")
+
+    def _up(v: np.ndarray) -> jnp.ndarray:
+        if transfer_dtype == "bfloat16":
+            import ml_dtypes
+            return jnp.asarray(v.astype(ml_dtypes.bfloat16)
+                               ).astype(jnp.float32)
+        return jnp.asarray(v)
+
     x = np.asarray(x)
     if x.dtype == np.complex64 and x.flags.c_contiguous:
-        return jnp.asarray(x.view(np.float32).reshape(*x.shape, 2))
+        return _up(x.view(np.float32).reshape(*x.shape, 2))
     if np.iscomplexobj(x):
-        return jnp.asarray(to_pair_np(x))
-    x = jnp.asarray(x, jnp.float32)
-    return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+        return _up(to_pair_np(x))
+    x = np.asarray(x, np.float32)
+    if transfer_dtype == "bfloat16":
+        re = _up(x)
+        return jnp.stack([re, jnp.zeros_like(re)], axis=-1)
+    xj = jnp.asarray(x)
+    return jnp.stack([xj, jnp.zeros_like(xj)], axis=-1)
 
 
 def to_pair_np(x: np.ndarray) -> np.ndarray:

@@ -22,7 +22,7 @@ outputs, not transcribed from them):
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -249,7 +249,9 @@ def compute_trace_adc_b1500(img_dict: Dict[str, np.ndarray]
 def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
                        coil_sens_maps: np.ndarray, hdr: Dict,
                        max_stage_bytes: float = 400e6,
-                       mesh=None) -> Dict[str, np.ndarray]:
+                       mesh=None,
+                       transfer_dtype: Optional[str] = None
+                       ) -> Dict[str, np.ndarray]:
     """Full DWI recon: regrid -> GRAPPA -> iFFT -> coil combine ->
     direction averages -> trace/ADC/b1500 -> flip + center crop.
 
@@ -293,7 +295,12 @@ def dwi_reconstruction(kspace: np.ndarray, calibration: np.ndarray,
     # intermediate stacks are each the size of the whole case (~GBs at
     # protocol scale), so drop each reference as soon as the next stage
     # exists — only k_g stays live through the slice loop.
-    k_pair = to_pair_device(np.ascontiguousarray(kspace))  # (A,S,C,ro,pe,2)
+    # transfer_dtype="bfloat16": halve the bytes of THIS upload (the bulk
+    # of the case's link budget — ~400 MB at protocol scale); calibration
+    # and sens maps stay exact f32 (same trade as recon/t2.py, gated in
+    # tests/test_recon.py)
+    k_pair = to_pair_device(np.ascontiguousarray(kspace),
+                            transfer_dtype=transfer_dtype)  # (A,S,C,ro,pe,2)
     k_rg = _regrid_pair_device(k_pair, grid_mat)
     del k_pair
     k_g = jnp.transpose(k_rg, (0, 1, 4, 2, 3, 5))    # (A, S, pe, C, ro', 2)

@@ -83,13 +83,24 @@ def create_coil_combined_im(multicoil_multislice_kspace: np.ndarray
 
 def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
                       hdr: Optional[Union[str, float]] = None,
-                      mesh=None) -> Dict[str, np.ndarray]:
+                      mesh=None,
+                      transfer_dtype: Optional[str] = None
+                      ) -> Dict[str, np.ndarray]:
     """Full T2 pipeline. ``hdr`` is an ISMRMRD XML string or an explicit
     padding amount (float); None means no zero-padding. ``mesh``: optional
     Mesh — slices shard over its first axis (hole-fill convs, iFFT and RSS
     are per-slice independent, so classical recon is embarrassingly
     data-parallel across chips; non-divisible slice counts pad with
     repeats of the last slice, dropped after).
+
+    ``transfer_dtype="bfloat16"`` halves the bytes of the BULK k-space
+    upload (the ~1.13 GB that dominates the case wall-clock on
+    link-bound attachments — ~18 s of the ~28 s case at 33 MB/s) by
+    rounding the pair to bf16 on host and upcasting on device. The
+    calibration upload and every weight solve stay exact f32 — only the
+    data being hole-filled is rounded, so the recon deviates by the
+    ~0.4% pre-round error (gated in tests/test_recon.py). Default None
+    = exact.
 
     DEVICE-RESIDENT: the k-space pairs upload to HBM exactly once; GRAPPA
     hole filling (averages 0+2 in one batched conv per slice), PE
@@ -135,7 +146,8 @@ def t2_reconstruction(kspace_data: np.ndarray, calib_data: np.ndarray,
     # dispatch chain, not the conv work, dominated wall-clock on the
     # remote-attached chip; the chunk bound keeps the vmapped conv's
     # per-geometry output transients (~G x slice-size each) inside HBM.
-    k_pair = jnp.transpose(to_pair_device(np.ascontiguousarray(kspace_data)),
+    k_pair = jnp.transpose(to_pair_device(np.ascontiguousarray(kspace_data),
+                                          transfer_dtype=transfer_dtype),
                            (0, 1, 4, 2, 3, 5))
     avg02 = jnp.asarray([0, 2])
     g = max(1, len(grappa_obj.kernel_var_dict["patch_indices"]))

@@ -166,6 +166,37 @@ def test_t2_reconstruction_shapes_and_quality(rng):
 
 
 @pytest.mark.slow
+def test_t2_reconstruction_bf16_link_within_tolerance(rng):
+    """transfer_dtype="bfloat16" (halved bulk-upload bytes) vs the exact
+    f32 path: only the hole-filled DATA is pre-rounded (~0.4% relative),
+    calibration/weight solves stay f32, so the recon must stay within a
+    proportional envelope — NOT bit-equal (the chain's matmuls run at
+    HIGHEST precision and keep the pre-round error; same contract as the
+    preprocess bf16 link path)."""
+    h, w, nc = 48, 40, 4
+    _, ksp = _multicoil_phantom(rng, h, w, nc)
+    full = np.moveaxis(ksp, -1, 0)
+    under = full.copy()
+    under[:, :, 1::2] = 0
+    under[:, :, w // 2 - 6: w // 2 + 6] = full[:, :, w // 2 - 6: w // 2 + 6]
+    kspace_data = np.stack([under] * 3)[:, None]
+    calib = full[:, :, w // 2 - 8: w // 2 + 8][None]
+    want = t2_reconstruction(kspace_data, calib, hdr=None)[
+        "reconstruction_rss"]
+    got = t2_reconstruction(kspace_data, calib, hdr=None,
+                            transfer_dtype="bfloat16")[
+        "reconstruction_rss"]
+    scale = float(np.abs(want).max())
+    rel = float(np.abs(got - want).max()) / (scale + 1e-12)
+    nmse = float(((got - want) ** 2).sum() / ((want ** 2).sum() + 1e-12))
+    assert rel < 2e-2, f"bf16-link T2 max rel dev {rel:.2e}"
+    assert nmse < 1e-4, f"bf16-link T2 NMSE {nmse:.2e}"
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        t2_reconstruction(kspace_data, calib, hdr=None,
+                          transfer_dtype="int8")
+
+
 def test_t2_reconstruction_mesh_matches_unsharded(rng):
     """Slice-sharded T2 recon over a 2-device mesh == the single-device
     pipeline (classical recon is per-slice independent; the hole-fill

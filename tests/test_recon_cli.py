@@ -120,3 +120,14 @@ def test_dwi_slice_chunking_matches_single_flush(rng):
     for k in out_single:
         np.testing.assert_allclose(out_mesh[k], out_single[k],
                                    rtol=1e-5, atol=1e-5)
+
+    # bf16 link transfer (halved bulk-upload bytes): only the hole-filled
+    # DATA pre-rounds (~0.4% relative; calibration/sens/weight solves stay
+    # f32) — every output map must stay inside a proportional envelope
+    out_bf16 = dwi_reconstruction(ksp, calib, sens, EPI,
+                                  max_stage_bytes=1e12,
+                                  transfer_dtype="bfloat16")
+    for k in out_single:
+        scale = float(np.abs(out_single[k]).max()) + 1e-12
+        rel = float(np.abs(out_bf16[k] - out_single[k]).max()) / scale
+        assert rel < 3e-2, f"bf16-link DWI {k} max rel dev {rel:.2e}"
