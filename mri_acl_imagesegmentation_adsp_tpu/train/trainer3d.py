@@ -151,6 +151,16 @@ class UNet3DArgs:
                                     # (params replicated; InstanceNorm is
                                     # per-sample, so DP == single-device
                                     # math up to loss-mean reassociation)
+    spatial_parallel: int = 1       # depth-shard every patch/volume over N
+                                    # devices (GSPMD: halo collective-
+                                    # permutes for the strided convs,
+                                    # all-reduce for InstanceNorm stats +
+                                    # grads) — per-device HBM holds 1/N of
+                                    # every activation, so TRAINING scales
+                                    # past the reference's one-GPU ROI-crop
+                                    # limit (train_unet3d.py:39-54); composes
+                                    # with data_parallel on a (data, depth)
+                                    # mesh
 
 
 class UNet3DTrainer:
@@ -199,10 +209,20 @@ class UNet3DTrainer:
                                                   seed=args.seed)
 
         self.mesh = None
-        if int(getattr(args, "data_parallel", 1) or 1) > 1:
-            from ..parallel import make_mesh
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            self.mesh = make_mesh(int(args.data_parallel))
+        dp = int(getattr(args, "data_parallel", 1) or 1)
+        sp = int(getattr(args, "spatial_parallel", 1) or 1)
+        if dp > 1 or sp > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            devs = jax.devices()
+            if len(devs) < dp * sp:
+                raise ValueError(f"data_parallel x spatial_parallel = "
+                                 f"{dp}x{sp} needs {dp * sp} devices, "
+                                 f"have {len(devs)}")
+            # 2-D (data, depth) mesh; either axis may be size 1. Batches
+            # shard over "data", the depth axis of every patch/volume over
+            # "depth" (see _place) — params replicated on both.
+            self.mesh = Mesh(np.asarray(devs[:dp * sp]).reshape(dp, sp),
+                             ("data", "depth"))
             rep = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, rep)
             self.batch_stats = jax.device_put(self.batch_stats, rep)
@@ -228,8 +248,11 @@ class UNet3DTrainer:
         return jnp.transpose(logits_ndhwc, (0, 4, 1, 2, 3))  # NCDHW
 
     def _place(self, x, y):
-        """Batch onto the mesh (batch dim over "data"; dims the mesh does
-        not divide fall back to replication — e.g. the batch-1 eval)."""
+        """Batch onto the mesh: batch dim over "data", depth dim (axis 1
+        of the NDHWC patch and of the (B,D,Y,X) labels) over "depth".
+        Dims the mesh does not divide fall back to replication on that
+        axis (divisible_spec) — e.g. the batch-1 eval on a 2-way data
+        axis, or an odd depth on the spatial axis."""
         x, y = jnp.asarray(x), jnp.asarray(y)
         if self.mesh is None:
             return x, y
@@ -237,10 +260,10 @@ class UNet3DTrainer:
         from ..parallel.mesh import divisible_spec
         return (jax.device_put(x, NamedSharding(
                     self.mesh, divisible_spec(self.mesh, x.shape,
-                                              P("data")))),
+                                              P("data", "depth")))),
                 jax.device_put(y, NamedSharding(
                     self.mesh, divisible_spec(self.mesh, y.shape,
-                                              P("data")))))
+                                              P("data", "depth")))))
 
     def _grad_step_impl(self, params, batch_stats, x, y):
         def loss_of(p):
@@ -380,6 +403,11 @@ def parse_args(argv=None) -> UNet3DArgs:
                         "HBM working set)")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each patch batch over N devices")
+    p.add_argument("--spatial-parallel", type=int, default=1,
+                   help="depth-shard every patch over N devices (GSPMD "
+                        "halo exchange; per-device HBM holds 1/N of every "
+                        "activation — whole-volume 3-D TRAINING past one "
+                        "chip's memory; composes with --data-parallel)")
     a = p.parse_args(argv)
     return UNet3DArgs(
         train_list=a.train_list, val_list=a.val_list, out_dir=a.out_dir,
@@ -390,7 +418,7 @@ def parse_args(argv=None) -> UNet3DArgs:
         samples_per_vol_train=a.samples_per_vol_train,
         samples_per_vol_val=a.samples_per_vol_val,
         device_sampling=a.device_sampling, accum_steps=a.accum_steps,
-        data_parallel=a.data_parallel,
+        data_parallel=a.data_parallel, spatial_parallel=a.spatial_parallel,
     )
 
 

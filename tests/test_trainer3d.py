@@ -81,6 +81,35 @@ def test_unet3d_trainer_data_parallel_matches(packs3d, tmp_path):
     assert abs(vl_dp - vl_ref) < 1e-4, (vl_dp, vl_ref)
 
 
+def test_unet3d_trainer_spatial_parallel_matches(packs3d, tmp_path):
+    """--spatial-parallel 2: TRAINING with every patch depth-sharded over
+    the mesh == the single-device run (GSPMD inserts halo collective-
+    permutes for the strided convs and all-reduces for InstanceNorm stats
+    and gradients; the math is unchanged). Also composed with
+    --data-parallel 2 on the (data, depth) mesh. Beyond-reference: the
+    reference trains 3-D ONLY on ROI crops sized to one GPU
+    (train_unet3d.py:39-54); depth sharding puts 1/N of every activation
+    on each device, so whole-volume training scales past one chip."""
+    def run(dp, sp, name):
+        args = UNet3DArgs(train_list=packs3d, val_list=packs3d,
+                          out_dir=str(tmp_path / name), roi=(16, 16, 8),
+                          channels=(4, 8), classes=1, batch_size=2,
+                          epochs=1, amp=False, samples_per_vol_train=4,
+                          samples_per_vol_val=1, seed=17,
+                          data_parallel=dp, spatial_parallel=sp)
+        t = UNet3DTrainer(args)
+        tr = t.train_one_epoch()
+        return tr, t.validate()
+
+    tr_ref, vl_ref = run(1, 1, "ref3dsp")
+    tr_sp, vl_sp = run(1, 2, "sp3d")
+    assert abs(tr_sp - tr_ref) < 1e-4, (tr_sp, tr_ref)
+    assert abs(vl_sp - vl_ref) < 1e-4, (vl_sp, vl_ref)
+    tr_2d, vl_2d = run(2, 2, "dpsp3d")
+    assert abs(tr_2d - tr_ref) < 1e-4, (tr_2d, tr_ref)
+    assert abs(vl_2d - vl_ref) < 1e-4, (vl_2d, vl_ref)
+
+
 def test_device_sampling_trains(tmp_path, packs3d):
     """HBM-resident store + in-jit patch sampling (device_sampling=True)
     trains with finite losses and writes the same artifacts."""
