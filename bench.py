@@ -372,16 +372,24 @@ def main() -> None:
                 extras[f"train_{k}"] = v
         extras["train_slices_per_sec_aug_none"] = round(
             bench_train(jax, jnp, "none")[0], 2)
-        # tuned throughput config (batch 32) alongside the reference batch 8
+        # tuned throughput configs alongside the reference batch 8: batch
+        # 32 (the r2 tuned point) and batch 128 (the r4 sweep winner —
+        # backward-conv MXU efficiency keeps improving with the M dim:
+        # 713 -> 779 -> 1002 slices/s across b8/b32/b128 on-chip, b256
+        # regresses to 941)
         rate_b32, cost_b32 = bench_train(jax, jnp, "light", batch=32)
         extras["train_slices_per_sec_b32_aug_light"] = round(rate_b32, 2)
         if on_v5e:
             mfu32 = _roofline(*cost_b32, rate_b32)
             if "mfu" in mfu32:
                 extras["train_b32_mfu"] = mfu32["mfu"]
-            if "hbm_roofline_fraction" in mfu32:
-                extras["train_b32_hbm_roofline_fraction"] = (
-                    mfu32["hbm_roofline_fraction"])
+        rate_b128, cost_b128 = bench_train(jax, jnp, "light",
+                                           n=512, batch=128)
+        extras["train_slices_per_sec_b128_aug_light"] = round(rate_b128, 2)
+        if on_v5e:
+            mfu128 = _roofline(*cost_b128, rate_b128)
+            if "mfu" in mfu128:
+                extras["train_b128_mfu"] = mfu128["mfu"]
         pre_sustained, pre_device, pre_bf16 = bench_preprocess(jnp)
         # The chip-rate is the headline preprocess number (one vmapped
         # dispatch per volume, ~5 ms/slice); the sustained corpus rate over

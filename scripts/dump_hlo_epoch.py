@@ -27,9 +27,11 @@ from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
     Engine, make_optimizer)
 from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
 
+import os
+
 H = W = 320
 N = 256
-BATCH = 8
+BATCH = int(os.environ.get("DUMP_BATCH", "8"))   # e.g. DUMP_BATCH=128
 
 DT_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
             "s8": 1, "u8": 1, "f64": 8, "s64": 8}

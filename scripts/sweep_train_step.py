@@ -141,8 +141,27 @@ def main():
 
     # batch scaling past 32 (r4): the train/infer MFU gap (29% vs 56%)
     # suggests backward-conv efficiency wants a larger M dim too
+    # (uncontended r4c run: b64 751, b128 1001.6 — the sweep winner,
+    # b256 941 — past the HBM working-set knee)
     for b in (64, 128):
         rate, ms = measure(cases["base"], store, batch=b)
+        results[f"base_b{b}"] = (round(rate, 1), round(ms, 2))
+        print(f"base_b{b}: {rate:.1f} slices/s ({ms:.2f} ms/step)",
+              flush=True)
+
+    # b256 needs a bigger store to keep >=2 steps per epoch dispatch
+    rng512 = np.random.default_rng(1)
+    imgs512 = rng512.standard_normal((512, H, W)).astype(np.float32)
+    yy2, xx2 = np.mgrid[:H, :W]
+    msks512 = np.stack([((yy2 - H // 2) ** 2 + (xx2 - W // 2) ** 2 <
+                         (80 + (i % 40)) ** 2)
+                        for i in range(512)]).astype(np.int32)
+    store512 = SliceStore(images=imgs512, masks=msks512,
+                          vol_starts=np.asarray([0]),
+                          vol_sizes=np.asarray([512]),
+                          files=["bench512"]).to_device(k=1)
+    for b in (256,):
+        rate, ms = measure(cases["base"], store512, batch=b)
         results[f"base_b{b}"] = (round(rate, 1), round(ms, 2))
         print(f"base_b{b}: {rate:.1f} slices/s ({ms:.2f} ms/step)",
               flush=True)

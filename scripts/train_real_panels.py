@@ -103,9 +103,16 @@ def main() -> int:
                       "platform": summary["platform"]}))
 
     # keep the committed artifact small: drop the working packs (the
-    # fixture regenerates them), keep run outputs + lists
+    # fixture regenerates them) and the ~94 MB best.ckpt — the reference
+    # strips its best.pt the same way (runs/fastmri_unet/.MISSING_LARGE_BLOBS)
     import shutil
     shutil.rmtree(work)
+    ckpt = OUT / "best.ckpt"
+    if ckpt.exists():
+        ckpt.unlink()
+        (OUT / ".MISSING_LARGE_BLOBS").write_text(
+            "best.ckpt stripped for repo size (94 MB); regenerate with "
+            "scripts/train_real_panels.py\n")
     return 0
 
 
