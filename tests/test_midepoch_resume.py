@@ -87,6 +87,8 @@ class _KillAfterSnapshot(Exception):
     pass
 
 
+@pytest.mark.nightly   # 129 s; covered transitively by
+#   test_kill_mid_epoch_then_resume_bitwise (resume path IS the chunked path)
 def test_chunked_epoch_bitwise_equals_whole_epoch(artifact_lists):
     tmp, train, val = artifact_lists
     t_whole = UNet2DTrainer(_args(tmp, train, val, "mr_whole"))

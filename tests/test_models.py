@@ -333,6 +333,8 @@ def test_unetpp_fused_matches_naive():
 
 
 @pytest.mark.slow  # 42 s of 3-D compiles; 3-D path also covered by trainer3d e2e (slow)
+@pytest.mark.nightly   # 194 s compile-bound 3-D equality; lighter cover =
+#   the 2-D phase-lowering exactness pins + unet3d trainer smoke
 def test_unet3d_fused_up_matches_naive():
     """The 1x1x1-phase relowering of the kernel-2 stride-2 transpose conv
     is exactly the transpose conv (every output voxel has one tap):

@@ -167,6 +167,8 @@ def test_unetpp_fold_and_quant():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly   # 165 s; test_unetpp_fold_and_quant pins the same
+#   fold+quant path on the heavier decoder variant
 def test_bottleneck_fold_and_quant():
     """resnet50 (bottleneck) tree walks + folds + quantizes correctly."""
     model = _tiny_model("resnet50")

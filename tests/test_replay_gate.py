@@ -14,6 +14,8 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
+@pytest.mark.nightly   # 422 s: the signature e2e replay; lighter cover =
+#   trainer e2e artifact tests + scripts/verify_tpu.py's on-chip 6-epoch run
 def test_replay_gate_synthetic_dry_run(tmp_path, monkeypatch):
     from mri_acl_imagesegmentation_adsp_tpu.cli.replay_gate import main
 

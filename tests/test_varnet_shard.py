@@ -227,6 +227,8 @@ def test_gpipe_schedule_matches_sequential(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly   # 117 s; the PP trainer-epoch test + the driver
+#   dryrun's PP grad assert pin the same schedule
 def test_varnet_pipeline_forward_and_grads_match(rng):
     """Cascades pipelined over a 4-way "pipe" axis == the unrolled model,
     forward and gradients (params enter in the model's own tree)."""
@@ -305,6 +307,8 @@ def test_varnet_trainer_pipeline_parallel_matches(rng, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly   # 101 s; coil-TP grads + DP trainer equality tests
+#   cover the mesh trainer composition
 def test_varnet_trainer_on_recon_mesh(rng, tmp_path):
     """One trainer step + validate on the (data, coil) mesh equals the
     meshless trainer bit-for-float: same samples, same seed."""
