@@ -162,9 +162,15 @@ class SliceStore:
             put = lambda x: jax.device_put(x, device)
         else:
             put = jax.device_put
+        # masks live as uint8 on device: labels are tiny class ids, and at
+        # corpus scale int32 masks cost as much HBM as the images (the
+        # reference corpus is ~11k 320^2 slices -> 4.6 GB each as int32/f32
+        # on a 16 GB chip). uint8 quarters the mask residency and the
+        # per-step gather traffic; losses one-hot/float-cast downstream.
+        mask_dtype = jnp.uint8 if np.max(masks, initial=0) < 256 else jnp.int32
         return DeviceSliceStore(
             images=put(jnp.asarray(images, dtype=image_dtype)),
-            masks=put(jnp.asarray(masks, dtype=jnp.int32)),
+            masks=put(jnp.asarray(masks, dtype=mask_dtype)),
             neighbors=put(jnp.asarray(nbr)),
             k=k,
             num_slices=n,
@@ -173,9 +179,14 @@ class SliceStore:
 
 @dataclass
 class DeviceSliceStore:
-    """Device-resident arrays; consumed inside jitted steps via gather."""
+    """Device-resident arrays; consumed inside jitted steps via gather.
+
+    ``masks`` is uint8 when all labels fit (the common case — binary body
+    masks or small class counts), int32 otherwise; consumers must not
+    assume a specific integer dtype (losses one-hot/float-cast).
+    """
     images: jnp.ndarray     # (N, H, W)
-    masks: jnp.ndarray      # (N, H, W) int32
+    masks: jnp.ndarray      # (N, H, W) uint8 (int32 if labels >= 256)
     neighbors: jnp.ndarray  # (N, k) int32
     k: int
     num_slices: int

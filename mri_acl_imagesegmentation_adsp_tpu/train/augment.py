@@ -215,7 +215,6 @@ def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
     """
     import numpy as np
     cfg = cfg or _RECIPES["medium"]  # widest non-elastic bounds as default
-    to_b = lambda a: a.astype(jnp.float32)[:, None, None]
     cos, sin = jnp.cos(-p.angle), jnp.sin(-p.angle)
     inv_s = 1.0 / p.scale
     A, B = cos * inv_s, sin * inv_s
@@ -246,44 +245,56 @@ def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
         [x, y[..., None].astype(x.dtype)], axis=-1).astype(jnp.bfloat16)
     c_all = payload.shape[-1]
 
-    def banded_pass(z, pos, axis):
-        """z: payload (B, ., ., C); pos (B, L, N): source positions along
-        ``axis`` for each of L lines x N output positions (axis=2: lines
-        are rows, N = w; axis=1: lines are columns, N = h)."""
+    def banded_pass(z, slope, c0, m, axis):
+        """One banded 1-D resample pass over ``axis`` of the payload z
+        (B, H, W, C). The source position along the pass axis is affine
+        per line: pos[b,l,n] = n + m[b,l] + (slope[b]*n + c0[b,l]), i.e.
+        the integer per-line displacement m (moved by log-rolls) plus a
+        RANK-1 residual rel = slope*n + c0 with |rel| < T.
+
+        The residual is deliberately kept in (per-sample slope, per-line
+        intercept) form and expanded inside each tap: materializing pos or
+        rel as a (B, L, N) array makes XLA CSE it and layout-copy every
+        tap's hat weight to the conv batch-minor layout — the r4 b128 HLO
+        dump showed 54 f32[128,320,320] copies (2.8 GB/step, ~22% of step
+        time) at the _hat call site. From ~KB-sized operands + an
+        in-fusion iota the weights fuse into the tap multiply instead."""
         n = z.shape[axis]
-        # per-line integer displacement, measured at the line's center
-        m = jnp.round(pos[..., n // 2] - (n // 2)).astype(jnp.int32)  # (B,L)
         mb = m[:, :, None, None] if axis == 2 else m[:, None, :, None]
         pads = [(0, 0)] * z.ndim
         pads[axis] = (pad, pad)
         zp = jnp.pad(z, pads)
         zs = _int_shift_lines(zp, mb, axis, pad)
-        # residual position rel = pos - out_index - m, |rel| <= T - 1
         idx = jnp.arange(n, dtype=jnp.float32)
-        rel = pos - idx[None, None, :] - m[..., None].astype(jnp.float32)
+        sb = slope[:, None, None]
         out = None
         for j in range(-T, T + 1):
-            wj = _hat(rel - j)                          # (B, L, N)
+            c0j = c0 - j
             if axis == 2:
+                wj = _hat(sb * idx[None, None, :] + c0j[:, :, None])
                 sl = zs[:, :, pad + j: pad + j + n, :]
-                wjb = wj[..., None]
             else:
+                wj = _hat(sb * idx[None, :, None] + c0j[:, None, :])
                 sl = zs[:, pad + j: pad + j + n, :, :]
-                wjb = jnp.swapaxes(wj, 1, 2)[..., None]
-            term = wjb * sl.astype(jnp.float32)
+            term = wj[..., None] * sl.astype(jnp.float32)
             out = term if out is None else out + term
         return out.astype(jnp.bfloat16)
 
-    # pass 1: every input row v resamples along x at G·v + H·x + K
-    pos1 = to_b(G) * rows[None, :, None] + to_b(Hc) * cols[None, None, :] \
-        + to_b(K)                                      # (B, V, Xo)
-    mid = banded_pass(payload, pos1, axis=2)
+    # pass 1: every input row v resamples along x at pos1 = G·v + H·x + K;
+    # m1 = round(pos1 - x) at the line center, rel1 = (H-1)·x + (G·v+K-m1)
+    line1 = G[:, None] * rows[None, :] + K[:, None]            # (B, V)
+    m1 = jnp.round(line1 + (Hc[:, None] - 1.0) * (w // 2)
+                   ).astype(jnp.int32)                         # (B, V)
+    mid = banded_pass(payload, Hc - 1.0, line1 - m1.astype(jnp.float32),
+                      m1, axis=2)
 
-    # pass 2: every output column x resamples along y at A·y + B·x + C
-    pos2 = to_b(A) * rows[None, :, None] + to_b(B) * cols[None, None, :] \
-        + to_b(C)                                      # (B, Yo, X)
-    pos2_lines = jnp.swapaxes(pos2, 1, 2)              # (B, X lines, Yo)
-    out = banded_pass(mid, pos2_lines, axis=1).astype(jnp.float32)
+    # pass 2: every output column x resamples along y at pos2 = A·y + B·x
+    # + C; m2 = round(pos2 - y) at the column center
+    line2 = B[:, None] * cols[None, :] + C[:, None]            # (B, X)
+    m2 = jnp.round(line2 + (A[:, None] - 1.0) * (h // 2)
+                   ).astype(jnp.int32)                         # (B, X)
+    out = banded_pass(mid, A - 1.0, line2 - m2.astype(jnp.float32),
+                      m2, axis=1).astype(jnp.float32)
 
     c = x.shape[-1]
     return out[..., :c].astype(x.dtype), (out[..., c] > 0.5).astype(y.dtype)

@@ -1,0 +1,78 @@
+"""Post-rank-1-warp batch sweep: re-measure b64/b256 (non-monotonic in the
+r4c sweep: 750.7 / 941.5 vs b32 779 / b128 1001.6 — per-shape fusion and
+layout choices moved) and probe bf16 tap weights at b128.
+
+Run: nohup python scripts/sweep_batch_post_rank1.py > /tmp/sweep_b_post.log 2>&1 &
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from mri_acl_imagesegmentation_adsp_tpu.utils.compile_cache import (
+    enable_compilation_cache)
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from mri_acl_imagesegmentation_adsp_tpu.data.hbm_loader import (
+    SliceStore, epoch_permutation)
+from mri_acl_imagesegmentation_adsp_tpu.models import build_unet
+from mri_acl_imagesegmentation_adsp_tpu.train.engine import (
+    Engine, make_optimizer)
+from mri_acl_imagesegmentation_adsp_tpu.train.losses import LossManager
+
+H = W = 320
+N = 512
+
+
+def make_store():
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((N, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[:H, :W]
+    msks = np.stack([((yy - H // 2) ** 2 + (xx - W // 2) ** 2 <
+                      (80 + (i % 40)) ** 2) for i in range(N)]).astype(np.int32)
+    return SliceStore(images=imgs, masks=msks, vol_starts=np.asarray([0]),
+                      vol_sizes=np.asarray([N]),
+                      files=["bench"]).to_device(k=1)
+
+
+def measure(engine, store, batch, reps=4):
+    state = engine.init_state(jax.random.PRNGKey(0),
+                              jnp.zeros((1, H, W, 1), jnp.float32))
+    perm = epoch_permutation(jax.random.PRNGKey(1), N, batch)
+    steps = perm.shape[0]
+    state, _, _ = engine.train_one_epoch(state, store, perm,
+                                         jax.random.PRNGKey(2), dataset_len=N)
+    t0 = time.perf_counter()
+    all_losses = []
+    for r in range(reps):
+        state, losses = engine.train_one_epoch_async(
+            state, store, perm, jax.random.PRNGKey(3 + r))
+        all_losses.append(losses)
+    engine.check_epoch_losses(np.stack([np.asarray(l) for l in all_losses]),
+                              state)
+    dt = time.perf_counter() - t0
+    return reps * steps * batch / dt, dt / (reps * steps) * 1e3
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    store = make_store()
+    model = build_unet("unet", "resnet34", "none", in_ch=1, classes=1,
+                       dtype=jnp.bfloat16)
+    loss = LossManager(classes=1, name="dice_bce")
+    engine = Engine(model, loss, make_optimizer(1e-3, 1e-4, 5.0),
+                    classes=1, aug="light")
+    for batch, old in ((64, 750.7), (128, 1055.5), (256, 941.5)):
+        rate, ms = measure(engine, store, batch)
+        print(f"base_b{batch}: {rate:.1f} slices/s ({ms:.2f} ms/step)  "
+              f"[prev: {old}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
