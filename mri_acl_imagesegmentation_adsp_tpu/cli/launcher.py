@@ -33,7 +33,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "data_parallel", "store_dtype", "resume", "save_resume_every",
     "save_resume_steps",
     "profile_epochs", "store_sharded", "remat", "accum_steps",
-    "ckpt_backend",
+    "ckpt_backend", "preempt_save",
 )
 
 
@@ -215,6 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Resume-snapshot format. orbax saves sharded "
                           "state per-shard (no host gather; multi-host "
                           "safe) and reshards on restore.")
+    tpu.add_argument("--preempt-save", action="store_true",
+                     help="On SIGTERM/SIGUSR1 (preemption notice), write a "
+                          "resume snapshot at the next chunk/epoch boundary "
+                          "and stop cleanly; rerun with --resume to "
+                          "continue bit-identically (pair with "
+                          "--save-resume-steps for mid-epoch granularity).")
     tpu.add_argument("--store-sharded", action="store_true",
                      help="Shard the HBM slice store over the mesh data "
                           "axis instead of replicating it.")

@@ -63,6 +63,9 @@ def main(argv=None) -> int:
                         "(vendored train_varnet_prostate.py behavior).")
     p.add_argument("--save-resume-every", type=int, default=1,
                    help="Epochs between resume snapshots (0 disables).")
+    p.add_argument("--preempt-save", action="store_true",
+                   help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
+                        "epoch boundary, clean stop; rerun with --resume.")
     p.add_argument("--ckpt-backend", default="msgpack",
                    choices=["msgpack", "orbax"],
                    help="Resume-snapshot format (orbax = per-shard save, "
@@ -112,7 +115,8 @@ def main(argv=None) -> int:
                             mesh=mesh, pipe_mesh=pipe_mesh)
     if args.mode == "train":
         trainer.fit(resume=args.resume,
-                    save_resume_every=args.save_resume_every)
+                    save_resume_every=args.save_resume_every,
+                    preempt_save=args.preempt_save)
     else:
         trainer.try_resume()
         metrics = trainer.validate()

@@ -162,25 +162,52 @@ def _hat(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _int_shift_lines(zp: jnp.ndarray, m: jnp.ndarray, axis: int,
-                     pad: int) -> jnp.ndarray:
-    """Variable integer shift along ``axis`` via log2(pad) roll+selects.
+                     pad: int, bound: int | None = None) -> jnp.ndarray:
+    """Variable integer shift along ``axis`` via log2 roll+selects.
 
     zp is padded with ``pad`` zeros on both ends of ``axis``; ``m`` holds
     per-LINE integer shifts (shape broadcastable to zp with size 1 along
     ``axis``). Returns y with y[..., j, ...] = zp[..., j + m, ...] for the
-    interior; |m| is clipped to pad. Rolls are static-shift copies and the
-    per-line selection is elementwise — no gathers, so the variable shift
-    streams at memory bandwidth on TPU (gathers measured ~10x slower).
-    The log-shift trick needs m constant along the rolled axis, which a
-    per-LINE shift satisfies by construction.
+    interior; |m| is clipped to ``bound`` (default pad). Rolls are
+    static-shift copies and the per-line selection is elementwise — no
+    gathers, so the variable shift streams at memory bandwidth on TPU
+    (gathers measured ~10x slower; scripts/micro_aug_shift.py re-measured
+    a per-line dynamic-slice gather at 12x the roll chain). The log-shift
+    trick needs m constant along the rolled axis, which a per-LINE shift
+    satisfies by construction.
+
+    Two traffic trims vs the naive low-to-high chain (each intermediate is
+    a full padded-width array, the dominant augmentation HBM cost at large
+    batch): (1) the caller passes ``bound`` = pad - T, shrinking the
+    encoded shift range [0, 2*bound] and often dropping a bit; (2) bits
+    apply HIGH to LOW (selects commute — every lane's selection keys on
+    its own line's constant u), and after each step the array is sliced
+    to the window that can still be reached by the remaining low bits,
+    so later (more numerous) intermediates are narrower.
     """
     import numpy as np
-    u = jnp.clip(m, -pad, pad) + pad              # [0, 2*pad]
-    nbits = max(1, int(np.ceil(np.log2(2 * pad + 1))))
-    y = jnp.roll(zp, pad, axis=axis)              # y[j] = zp[j - pad]
-    for k in range(nbits):
+    full = zp.shape[axis]
+    bound = pad if bound is None else min(bound, pad)
+    u = jnp.clip(m, -bound, bound) + bound        # [0, 2*bound]
+    nbits = max(1, int(np.ceil(np.log2(2 * bound + 1))))
+    y = jnp.roll(zp, bound, axis=axis)            # y[j] = zp[j - bound]
+    # left-rolling y by u gives final[j] = zp[j - bound + u] = zp[j + m].
+    # With bound = pad - T the callers' tap slices read final indices
+    # [pad - T, pad + T + n) = [.., full - bound); after the high bits are
+    # applied, the remaining low-bit shift is < 2^k, so any intermediate
+    # column >= (full - bound) + 2^k - 1 is dead and gets sliced off —
+    # later (more numerous) intermediates are narrower.
+    width = full
+    for k in reversed(range(nbits)):
         bit = ((u >> k) & 1).astype(bool)
         y = jnp.where(bit, jnp.roll(y, -(1 << k), axis=axis), y)
+        if k > 0 and bound < pad:
+            need = min(width, (full - bound) + (1 << k) - 1)
+            if need < width:
+                sl = [slice(None)] * zp.ndim
+                sl[axis] = slice(0, need)
+                y = y[tuple(sl)]
+                width = need
     return y
 
 
@@ -264,7 +291,9 @@ def _warp_batch_separable(x: jnp.ndarray, y: jnp.ndarray, p: AugParams,
         pads = [(0, 0)] * z.ndim
         pads[axis] = (pad, pad)
         zp = jnp.pad(z, pads)
-        zs = _int_shift_lines(zp, mb, axis, pad)
+        # taps only read [pad - T, pad + T + n): bound the encoded shift at
+        # pad - T so the roll chain can drop a bit and narrow intermediates
+        zs = _int_shift_lines(zp, mb, axis, pad, bound=pad - T)
         idx = jnp.arange(n, dtype=jnp.float32)
         sb = slope[:, None, None]
         out = None

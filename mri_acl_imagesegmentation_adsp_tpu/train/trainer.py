@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, asdict, field
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -89,6 +90,33 @@ class UNet2DArgs:
     remat: bool = False                      # per-block backward remat (unet)
     accum_steps: int = 1                     # microbatches per optimizer step
     ckpt_backend: str = "msgpack"            # resume format: msgpack|orbax
+    preempt_save: bool = False               # SIGTERM/SIGUSR1 -> snapshot+stop
+
+
+@contextmanager
+def _preempt_signals(enabled: bool, callback):
+    """Install ``callback`` as the SIGTERM/SIGUSR1 handler for the scope.
+
+    Previous handlers are restored on exit. Signal handlers can only be
+    installed from the main thread — elsewhere (e.g. a serving worker
+    embedding the trainer) this degrades to a no-op and request_preempt()
+    remains available for cooperative stops.
+    """
+    if not enabled:
+        yield
+        return
+    import signal
+    prev = {}
+    try:
+        for s in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev[s] = signal.signal(s, lambda *_: callback())
+            except ValueError:
+                break
+        yield
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
 
 
 class UNet2DTrainer:
@@ -132,6 +160,11 @@ class UNet2DTrainer:
 
         self.scheduler = ReduceLROnPlateau(
             lr=args.lr, mode="min", factor=0.5, patience=3)
+
+        # cooperative preemption: a SIGTERM/SIGUSR1 (or request_preempt())
+        # makes the runner snapshot at the next chunk/epoch boundary and
+        # stop cleanly — the snapshot resumes bit-identically (§5.3)
+        self._preempt = False
 
         # pending step-indexed mid-epoch resume point (set by _try_resume
         # when the newest snapshot was taken between chunks of an epoch)
@@ -308,8 +341,12 @@ class UNet2DTrainer:
                     ep, done, ep_key, aug_key,
                     np.concatenate(losses_parts) if losses_parts
                     else np.zeros(0, np.float32))
+                if self._preempt:
+                    # snapshot is on disk; the resumed run replays the rest
+                    # of the epoch exactly (kill-then-resume pin)
+                    return (np.concatenate(losses_parts), True)
         return (np.concatenate(losses_parts) if losses_parts
-                else np.zeros(0, np.float32))
+                else np.zeros(0, np.float32)), False
 
     # ------------------------------------------------------------------
     # Best checkpoint / val probs
@@ -382,7 +419,18 @@ class UNet2DTrainer:
     # Main loop
     # ------------------------------------------------------------------
 
+    def request_preempt(self) -> None:
+        """Ask the runner to snapshot at the next chunk/epoch boundary and
+        stop cleanly. Installed as the SIGTERM/SIGUSR1 handler when
+        ``preempt_save`` is set (the usual TPU-preemption notice shapes);
+        also directly callable (tests, embedding frameworks)."""
+        self._preempt = True
+
     def run(self) -> Dict[str, Any]:
+        with _preempt_signals(self.args.preempt_save, self.request_preempt):
+            return self._run()
+
+    def _run(self) -> Dict[str, Any]:
         a = self.args
         t0 = time.time()
         n_train = self.train_store.num_slices
@@ -423,8 +471,12 @@ class UNet2DTrainer:
             elif a.save_resume_steps > 0:
                 # step-indexed mid-epoch snapshots: chunked dispatch,
                 # snapshot between chunks (syncs per chunk by construction)
-                step_losses = self._train_epoch_chunked(
+                step_losses, cut = self._train_epoch_chunked(
                     ep, ep_key, aug_key, perm, mid)
+                if cut:
+                    print(f"[preempt] mid-epoch snapshot saved (epoch {ep},"
+                          f" {len(step_losses)} steps done); stopping")
+                    break
                 val_loss, val_dice, val_iou = self.engine.validate(
                     self.state, self.val_store, val_bs)
                 train_loss = float(
@@ -481,6 +533,11 @@ class UNet2DTrainer:
                 self._log_val_images(ep)
             if a.save_resume_every and ep % a.save_resume_every == 0:
                 self._save_resume(ep)
+            if self._preempt:
+                self._save_resume(ep)
+                print(f"[preempt] resume snapshot saved (epoch {ep} done);"
+                      f" stopping")
+                break
 
         final_snapshot = self.history[-1] if self.history else {}
         summary = {
@@ -489,6 +546,8 @@ class UNet2DTrainer:
             "best_ckpt": str(self.best_ckpt_path),
             "epochs": int(a.epochs),
         }
+        if self._preempt:   # additive key: absent in normal runs (replay
+            summary["preempted"] = True  # contract untouched)
         with (self.out_dir / "history.json").open("w", encoding="utf-8") as f:
             json.dump(self.history, f, indent=2)
         with (self.out_dir / "summary.json").open("w", encoding="utf-8") as f:

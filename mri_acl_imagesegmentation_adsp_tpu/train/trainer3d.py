@@ -161,6 +161,10 @@ class UNet3DArgs:
                                     # limit (train_unet3d.py:39-54); composes
                                     # with data_parallel on a (data, depth)
                                     # mesh
+    resume: bool = False            # resume from the newest snapshot
+    save_resume_every: int = 0      # epochs between resume snapshots
+    preempt_save: bool = False      # SIGTERM/SIGUSR1 -> snapshot + stop
+    ckpt_backend: str = "msgpack"   # resume format: msgpack|orbax
 
 
 class UNet3DTrainer:
@@ -241,6 +245,13 @@ class UNet3DTrainer:
         self._add_grads = jax.jit(
             lambda a, b: jax.tree.map(jnp.add, a, b))
         self._apply_grads = jax.jit(self._apply_grads_impl)
+
+        # mid-run resume (the reference 3-D path cannot resume at all —
+        # SURVEY §5.4; symmetric with the 2-D/VarNet runners here)
+        self.start_epoch = 1
+        self._preempt = False
+        if args.resume:
+            self._try_resume()
 
     # ------------------------------------------------------------------
 
@@ -350,21 +361,72 @@ class UNet3DTrainer:
             nb += 1
         return run / max(1, nb)
 
+    def request_preempt(self) -> None:
+        """Snapshot at the next epoch boundary and stop cleanly (the
+        SIGTERM/SIGUSR1 handler target when preempt_save is set)."""
+        self._preempt = True
+
+    def _ckpt_state(self):
+        return (self.params, self.batch_stats, self.opt_state)
+
+    def _host_state(self, epoch: int) -> Dict[str, Any]:
+        # the host samplers are stateful numpy RNGs: capturing their bit-
+        # generator state makes epoch-boundary resume continue the exact
+        # patch/shuffle stream of an uninterrupted run
+        return {
+            "epoch": int(epoch),
+            "best_val": float(self.best_val),
+            "train_rng": self.train_ds.rng.bit_generator.state,
+            "val_rng": self.val_ds.rng.bit_generator.state,
+            "sample_key": np.asarray(
+                jax.random.key_data(self._sample_key)).tolist(),
+        }
+
+    def _save_resume(self, epoch: int) -> None:
+        ckpt_lib.save_resume(self.args.out_dir, epoch, self._ckpt_state(),
+                             self._host_state(epoch),
+                             backend=self.args.ckpt_backend)
+
+    def _try_resume(self) -> None:
+        d = ckpt_lib.latest_resume_dir(self.args.out_dir)
+        if d is None:
+            return
+        (self.params, self.batch_stats, self.opt_state), host = \
+            ckpt_lib.load_train_state(d, self._ckpt_state())
+        self.best_val = float(host["best_val"])
+        self.start_epoch = int(host["epoch"]) + 1
+        self.train_ds.rng.bit_generator.state = host["train_rng"]
+        self.val_ds.rng.bit_generator.state = host["val_rng"]
+        self._sample_key = jax.random.wrap_key_data(
+            jnp.asarray(host["sample_key"], jnp.uint32))
+        print(f"[resume3d] restored {d}, continuing at epoch "
+              f"{self.start_epoch}")
+
     def fit(self) -> Dict[str, Any]:
         from .engine import get_lr
-        for ep in range(1, self.args.epochs + 1):
-            tr = self.train_one_epoch()
-            vl = self.validate()
-            lr = get_lr(self.opt_state)
-            print(f"Epoch {ep:03d}/{self.args.epochs} | train {tr:.4f} | "
-                  f"val {vl:.4f} | lr {lr:.2e}")
-            with open(self.log_csv, "a") as f:
-                f.write(f"{ep},{tr:.6f},{vl:.6f},{lr:.6e}\n")
-            if vl < self.best_val:
-                self.best_val = vl
-                ckpt_lib.save_best(self.best_path, self.params,
-                                   self.batch_stats, asdict(self.args))
-                print("  >> saved best")
+        from .trainer import _preempt_signals
+        a = self.args
+        with _preempt_signals(a.preempt_save, self.request_preempt):
+            for ep in range(self.start_epoch, a.epochs + 1):
+                tr = self.train_one_epoch()
+                vl = self.validate()
+                lr = get_lr(self.opt_state)
+                print(f"Epoch {ep:03d}/{a.epochs} | train {tr:.4f} | "
+                      f"val {vl:.4f} | lr {lr:.2e}")
+                with open(self.log_csv, "a") as f:
+                    f.write(f"{ep},{tr:.6f},{vl:.6f},{lr:.6e}\n")
+                if vl < self.best_val:
+                    self.best_val = vl
+                    ckpt_lib.save_best(self.best_path, self.params,
+                                       self.batch_stats, asdict(self.args))
+                    print("  >> saved best")
+                if a.save_resume_every and ep % a.save_resume_every == 0:
+                    self._save_resume(ep)
+                if self._preempt:
+                    self._save_resume(ep)
+                    print(f"[preempt] resume snapshot saved (epoch {ep} "
+                          f"done); stopping")
+                    break
         print("Done. Best:", self.best_path)
         return {"best_ckpt": self.best_path,
                 "best_val_loss": float(self.best_val)}
@@ -408,6 +470,16 @@ def parse_args(argv=None) -> UNet3DArgs:
                         "halo exchange; per-device HBM holds 1/N of every "
                         "activation — whole-volume 3-D TRAINING past one "
                         "chip's memory; composes with --data-parallel)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest snapshot in out-dir "
+                        "(params + optimizer + sampler RNG state)")
+    p.add_argument("--save-resume-every", type=int, default=0,
+                   help="write a resume snapshot every N epochs")
+    p.add_argument("--preempt-save", action="store_true",
+                   help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
+                        "epoch boundary, clean stop; rerun with --resume")
+    p.add_argument("--ckpt-backend", default="msgpack",
+                   choices=["msgpack", "orbax"])
     a = p.parse_args(argv)
     return UNet3DArgs(
         train_list=a.train_list, val_list=a.val_list, out_dir=a.out_dir,
@@ -419,6 +491,8 @@ def parse_args(argv=None) -> UNet3DArgs:
         samples_per_vol_val=a.samples_per_vol_val,
         device_sampling=a.device_sampling, accum_steps=a.accum_steps,
         data_parallel=a.data_parallel, spatial_parallel=a.spatial_parallel,
+        resume=a.resume, save_resume_every=a.save_resume_every,
+        preempt_save=a.preempt_save, ckpt_backend=a.ckpt_backend,
     )
 
 

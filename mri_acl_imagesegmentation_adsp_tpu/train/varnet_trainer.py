@@ -139,6 +139,7 @@ class VarNetTrainer:
         self.opt_state = None
         self.epoch = 0
         self.best_val = float("inf")
+        self._preempt = False
         self.best_path = os.path.join(args.out_dir, "varnet_best.ckpt")
 
         # donate params/opt_state (~300 MB at 25 M params): XLA updates
@@ -362,8 +363,19 @@ class VarNetTrainer:
         print(f"[varnet] resumed {d} at epoch {self.epoch}")
         return True
 
-    def fit(self, resume: bool = False, save_resume_every: int = 0
-            ) -> Dict[str, Any]:
+    def request_preempt(self) -> None:
+        """Snapshot at the next epoch boundary and stop cleanly (the
+        SIGTERM/SIGUSR1 handler target when fit(preempt_save=True))."""
+        self._preempt = True
+
+    def fit(self, resume: bool = False, save_resume_every: int = 0,
+            preempt_save: bool = False) -> Dict[str, Any]:
+        from .trainer import _preempt_signals
+        with _preempt_signals(preempt_save, self.request_preempt):
+            return self._fit(resume, save_resume_every)
+
+    def _fit(self, resume: bool = False, save_resume_every: int = 0
+             ) -> Dict[str, Any]:
         if resume:
             seed_ds = (self.train_ds if self.train_ds else self.val_ds)
             if not seed_ds:
@@ -392,4 +404,9 @@ class VarNetTrainer:
                 self._save_best()
             if save_resume_every and ep % save_resume_every == 0:
                 self._save_resume(ep)
+            if self._preempt:
+                self._save_resume(ep)
+                print(f"[preempt] resume snapshot saved (epoch {ep} done);"
+                      f" stopping")
+                break
         return {"best_ckpt": self.best_path, "history": history}

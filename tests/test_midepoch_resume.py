@@ -176,3 +176,68 @@ def test_resumed_run_consumes_only_remaining_rows(artifact_lists):
     t_res.run()
     # 12 train slices / batch 4 = 3 steps; 1 consumed before the kill
     assert sum(seen) == 2, seen
+
+
+def test_preempt_request_snapshots_and_resumes_bitwise(artifact_lists):
+    """Cooperative preemption (§5.3): request_preempt() mid-epoch makes the
+    runner save the step-indexed snapshot at the next chunk boundary and
+    return cleanly; a --resume run finishes bit-identically."""
+    tmp, train, val = artifact_lists
+    t_ref = UNet2DTrainer(_args(tmp, train, val, "pre_ref"))
+    t_ref.run()
+
+    args_int = _args(tmp, train, val, "pre_int", save_resume_steps=2)
+    t_int = UNet2DTrainer(args_int)
+    orig_steps = t_int.engine.train_steps_async
+    state = {"fired": False}
+
+    def preempting(st, store, perm, keys):
+        out = orig_steps(st, store, perm, keys)
+        if not state["fired"]:          # after the FIRST chunk of epoch 1
+            state["fired"] = True
+            t_int.request_preempt()
+        return out
+
+    t_int.engine.train_steps_async = preempting
+    result = t_int.run()               # returns (no exception), preempted
+    assert result["summary"].get("preempted") is True
+    snaps = sorted(p.name for p in
+                   (Path(args_int.out_dir) / "checkpoints").iterdir())
+    assert "resume_000000_000002" in snaps, snaps
+
+    args_res = _args(tmp, train, val, "pre_int", save_resume_steps=2,
+                     resume=True)
+    t_res = UNet2DTrainer(args_res)
+    assert t_res._mid_resume is not None
+    t_res.run()
+    _assert_states_equal(t_ref.state, t_res.state)
+    h_ref = json.loads((Path(t_ref.out_dir) / "history.json").read_text())
+    h_res = json.loads((Path(t_res.out_dir) / "history.json").read_text())
+    assert h_ref == h_res
+
+
+def test_preempt_signal_handler_installs_and_restores():
+    """SIGUSR1 under _preempt_signals fires the callback; the previous
+    handler is restored on scope exit."""
+    import os
+    import signal
+
+    from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (
+        _preempt_signals,
+    )
+
+    seen = {"prev": 0, "cb": 0}
+
+    def prev_handler(*_):
+        seen["prev"] += 1
+
+    old = signal.signal(signal.SIGUSR1, prev_handler)
+    try:
+        with _preempt_signals(True, lambda: seen.__setitem__(
+                "cb", seen["cb"] + 1)):
+            os.kill(os.getpid(), signal.SIGUSR1)
+        assert seen["cb"] == 1 and seen["prev"] == 0
+        os.kill(os.getpid(), signal.SIGUSR1)   # restored handler
+        assert seen["prev"] == 1 and seen["cb"] == 1
+    finally:
+        signal.signal(signal.SIGUSR1, old)

@@ -192,3 +192,56 @@ def test_knee_npz3d_cache_is_bounded(packs3d):
     ds._load(0)
     ds._load(1)
     assert len(ds._cache) == 1 and 1 in ds._cache  # LRU evicted volume 0
+
+
+def test_unet3d_resume_bitwise_and_preempt(packs3d, tmp_path):
+    """3-D trainer resume (the reference 3-D path cannot resume, SURVEY
+    §5.4): preempt after epoch 2 of 4, then --resume — final params and
+    train_log match the uninterrupted run bit-level (sampler RNG state is
+    part of the snapshot)."""
+    import jax
+
+    def args_for(name, **kw):
+        return UNet3DArgs(train_list=packs3d, val_list=packs3d,
+                          out_dir=str(tmp_path / name), roi=(16, 16, 8),
+                          channels=(4, 8, 16), classes=1, batch_size=2,
+                          epochs=4, amp=False, samples_per_vol_train=4,
+                          samples_per_vol_val=1, **kw)
+
+    t_ref = UNet3DTrainer(args_for("r3d_ref"))
+    t_ref.fit()
+
+    t_int = UNet3DTrainer(args_for("r3d_int"))
+    orig_epoch = t_int.train_one_epoch
+
+    def epoch_then_preempt():
+        out = orig_epoch()
+        if not t_int._preempt and t_int.start_epoch == 1:
+            # fires during epochs 1 and 2; preempt lands after epoch 2
+            if os.path.exists(os.path.join(t_int.args.out_dir,
+                                           "train_log.csv")):
+                rows = open(os.path.join(
+                    t_int.args.out_dir, "train_log.csv")).read().splitlines()
+                if len(rows) >= 2:      # header + epoch-1 row
+                    t_int.request_preempt()
+        return out
+
+    t_int.train_one_epoch = epoch_then_preempt
+    t_int.fit()
+    snaps = os.listdir(os.path.join(t_int.args.out_dir, "checkpoints"))
+    assert "resume_000002" in snaps, snaps
+
+    t_res = UNet3DTrainer(args_for("r3d_int", resume=True))
+    assert t_res.start_epoch == 3
+    t_res.fit()
+
+    for a, b in zip(jax.tree.leaves((t_ref.params, t_ref.batch_stats,
+                                     t_ref.opt_state)),
+                    jax.tree.leaves((t_res.params, t_res.batch_stats,
+                                     t_res.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    log_ref = open(os.path.join(t_ref.args.out_dir,
+                                "train_log.csv")).read().splitlines()
+    log_res = open(os.path.join(t_res.args.out_dir,
+                                "train_log.csv")).read().splitlines()
+    assert log_ref == log_res

@@ -176,3 +176,34 @@ def test_varnet_trainer_batched_steps(tmp_path, rng):
     # into its own step of 1
     assert sizes == [2, 2, 1]
     assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_varnet_preempt_saves_snapshot_and_stops(tmp_path, rng):
+    """fit(preempt_save=True) + request_preempt(): the trainer writes a
+    resume snapshot at the epoch boundary, stops early, and a resume run
+    continues from it."""
+    import os
+
+    train = _fake_samples(rng, n=2)
+    val = _fake_samples(rng, n=2, fname="volA.h5")
+    args = VarNetArgs(out_dir=str(tmp_path), bvalue="b50", num_cascades=1,
+                      chans=4, pools=2, sens_chans=4, sens_pools=2,
+                      epochs=4, crop=12, amp=False)
+    t = VarNetTrainer(args, train_ds=train, val_ds=val)
+    orig = t.train_one_epoch
+
+    def epoch_then_preempt():
+        out = orig()
+        if t.epoch == 2:
+            t.request_preempt()
+        return out
+
+    t.train_one_epoch = epoch_then_preempt
+    result = t.fit(preempt_save=True)
+    assert len(result["history"]) == 2          # stopped after epoch 2
+    snaps = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+    assert "resume_000002" in snaps, snaps
+
+    t2 = VarNetTrainer(args, train_ds=train, val_ds=val)
+    result2 = t2.fit(resume=True)
+    assert [h["epoch"] for h in result2["history"]] == [3, 4]
