@@ -374,9 +374,10 @@ def main() -> None:
             bench_train(jax, jnp, "none")[0], 2)
         # tuned throughput configs alongside the reference batch 8: batch
         # 32 (the r2 tuned point) and batch 128 (the r4 sweep winner —
-        # backward-conv MXU efficiency keeps improving with the M dim:
-        # 713 -> 779 -> 1002 slices/s across b8/b32/b128 on-chip, b256
-        # regresses to 941)
+        # backward-conv MXU efficiency keeps improving with the M dim;
+        # after the late-r4 warp rework: 731 -> 835 -> 1090 slices/s
+        # across b8/b32/b128 on-chip, b256 regresses past the HBM
+        # working-set knee)
         rate_b32, cost_b32 = bench_train(jax, jnp, "light", batch=32)
         extras["train_slices_per_sec_b32_aug_light"] = round(rate_b32, 2)
         if on_v5e:
@@ -390,6 +391,10 @@ def main() -> None:
             mfu128 = _roofline(*cost_b128, rate_b128)
             if "mfu" in mfu128:
                 extras["train_b128_mfu"] = mfu128["mfu"]
+        # aug-off tuned point: isolates the augmentation budget (the
+        # remaining warp cost is VPU tap arithmetic at its op floor)
+        extras["train_slices_per_sec_b128_aug_none"] = round(
+            bench_train(jax, jnp, "none", n=512, batch=128)[0], 2)
         pre_sustained, pre_device, pre_bf16 = bench_preprocess(jnp)
         # The chip-rate is the headline preprocess number (one vmapped
         # dispatch per volume, ~5 ms/slice); the sustained corpus rate over

@@ -110,6 +110,7 @@ class ClassifierTrainer:
         self.early = EarlyStopping(patience=args.patience,
                                    save_fn=self._save_best,
                                    trace_func=lambda *a, **k: None)
+        self._preempt = False
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -209,8 +210,59 @@ class ClassifierTrainer:
             auc = float("nan")
         return total_loss / max(1, nb), auc
 
-    def fit(self) -> Dict[str, Any]:
+    def request_preempt(self) -> None:
+        """Snapshot at the next epoch boundary and stop cleanly (the
+        SIGTERM/SIGUSR1 handler target when fit(preempt_save=True))."""
+        self._preempt = True
+
+    def _save_resume(self, epoch: int) -> None:
+        host = {
+            "epoch": int(epoch),
+            "early": {"counter": self.early.counter,
+                      "best_loss": float(self.early.best_loss),
+                      "early_stop": bool(self.early.early_stop)},
+            "plateau": self.plateau.state_dict(),
+            "history": self.history,
+        }
+        ckpt_lib.save_resume(self.args.out_dir, epoch,
+                             (self.params, self.opt_state), host)
+
+    def _try_resume(self) -> bool:
+        d = ckpt_lib.latest_resume_dir(self.args.out_dir)
+        if d is None:
+            return False
+        (self.params, self.opt_state), host = ckpt_lib.load_train_state(
+            d, (self.params, self.opt_state))
+        self.epoch = int(host["epoch"])
+        self.history = list(host["history"])
+        self.early.counter = int(host["early"]["counter"])
+        self.early.best_loss = float(host["early"]["best_loss"])
+        self.early.early_stop = bool(host["early"]["early_stop"])
+        self.plateau.load_state_dict(host["plateau"])
+        print(f"[clf] resumed {d} at epoch {self.epoch}")
+        return True
+
+    def fit(self, resume: bool = False, save_resume_every: int = 0,
+            preempt_save: bool = False) -> Dict[str, Any]:
+        """Epoch shuffles/augmentation are seeded per epoch (stateless), so
+        an epoch-boundary resume continues the exact stream of an
+        uninterrupted run; EarlyStopping + plateau counters ride the
+        snapshot."""
+        from ..train.trainer import _preempt_signals
+        with _preempt_signals(preempt_save, self.request_preempt):
+            return self._fit(resume, save_resume_every)
+
+    def _fit(self, resume: bool, save_resume_every: int) -> Dict[str, Any]:
         a = self.args
+        if resume:
+            # params must exist as a restore target: init from one batch
+            for x, _y in self.train_ds.batches(a.batch_size, shuffle=False,
+                                               seed=a.seed):
+                self._init_if_needed(jnp.asarray(np.moveaxis(x, 1, -1)))
+                break
+            if not self._try_resume():
+                print(f"[clf] resume requested but no snapshot in "
+                      f"{a.out_dir}; starting fresh")
         for ep in range(self.epoch + 1, a.epochs + 1):
             self.epoch = ep
             lr = a.lr * self.sched(ep - 1) * self.plateau.lr
@@ -230,6 +282,13 @@ class ClassifierTrainer:
             self.early(vl_loss)
             if self.early.early_stop:
                 print("[clf] early stopping")
+                break
+            if save_resume_every and ep % save_resume_every == 0:
+                self._save_resume(ep)
+            if self._preempt:
+                self._save_resume(ep)
+                print(f"[preempt] resume snapshot saved (epoch {ep} done);"
+                      f" stopping")
                 break
         with open(os.path.join(a.out_dir, "history.json"), "w") as f:
             json.dump(self.history, f, indent=2)

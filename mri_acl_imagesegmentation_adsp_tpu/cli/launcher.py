@@ -65,12 +65,13 @@ def _split_ratio(value: str) -> float:
 
 def run_preprocess(dataset_root: Path, out_dir: Path, height: int, width: int,
                    slice_keep: str, clip: str, use_n4: bool, use_denoise: bool,
-                   preview_max: int) -> int:
+                   preview_max: int, skip_existing: bool = False) -> int:
     """Stage 1: raw h5 volumes -> volume.npz artifact packs."""
     spec = SimpleNamespace(
         root_dir=str(dataset_root), out_dir=str(out_dir), height=height,
         width=width, slice_keep=slice_keep, clip=clip, use_n4=use_n4,
-        use_denoise=use_denoise, preview_max=preview_max)
+        use_denoise=use_denoise, preview_max=preview_max,
+        skip_existing=skip_existing)
     print(f"[launcher] preprocess: {dataset_root} -> {out_dir}")
     packs = build_preprocess(
         spec, adapter=FastMRISinglecoilAdapter(root_dir=str(dataset_root)))
@@ -164,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--clip", default="1.0,99.5",
                       help="Intensity clip percentiles as 'lo,hi'.")
     prep.add_argument("--preview-max", type=int, default=6)
+    prep.add_argument("--skip-existing", action="store_true",
+                      help="Skip volumes whose artifact pack is already "
+                           "complete (stats.json present) — makes long "
+                           "corpus preprocessing crash/preemption-"
+                           "resumable.")
     prep.add_argument("--use-n4", action="store_true")
     prep.add_argument("--use-denoise", action="store_true")
     prep.add_argument("--split-ratio", type=_split_ratio, default=0.8)
@@ -260,7 +266,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "FASTMRI_ROOT (or use --skip-preprocess)")
         run_preprocess(Path(ns.dataset_root).resolve(), artifact_dir,
                        ns.height, ns.width, ns.slice_keep, ns.clip,
-                       ns.use_n4, ns.use_denoise, ns.preview_max)
+                       ns.use_n4, ns.use_denoise, ns.preview_max,
+                       skip_existing=ns.skip_existing)
 
     made_train = made_val = None
     if ns.skip_split:

@@ -71,6 +71,9 @@ def parse_args_preprocess(argv: Optional[Sequence[str]] = None):
     ap.add_argument("--use_denoise", action="store_true")
     ap.add_argument("--clip", type=str, default="1.0,99.5")
     ap.add_argument("--preview_max", type=int, default=8)
+    ap.add_argument("--skip_existing", action="store_true",
+                    help="skip volumes whose pack is already complete "
+                         "(stats.json present) — crash-resumable corpus runs")
     return ap.parse_args(argv)
 
 

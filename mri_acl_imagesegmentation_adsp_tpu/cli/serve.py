@@ -613,7 +613,31 @@ def create_server(args) -> ThreadingHTTPServer:
         shape = tuple(int(v) for v in args.warmup_shape.split(","))
         runner.warmup(shape)
     handler = type("BoundHandler", (_Handler,), {"runner": runner})
-    return ThreadingHTTPServer((args.host, args.port), handler)
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    # graceful drain: keep handler threads joinable so server_close()
+    # waits for in-flight requests after shutdown() stops new accepts
+    server.daemon_threads = False
+    server.block_on_close = True
+    return server
+
+
+def install_drain_handler(server) -> None:
+    """SIGTERM -> graceful drain: stop accepting, let in-flight requests
+    finish (server_close joins the handler threads), then exit — the
+    serving-side counterpart of the trainers' --preempt-save. shutdown()
+    must run off the serve_forever thread (it blocks until the accept
+    loop exits), hence the helper thread."""
+    import signal
+    import threading
+
+    def _drain(*_):
+        print(json.dumps({"draining": True}), flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+    except ValueError:        # not the main thread (in-process tests)
+        pass
 
 
 def main(argv=None) -> int:
@@ -655,6 +679,7 @@ def main(argv=None) -> int:
         p.error("one of --ckpt / --qtree is required")
 
     server = create_server(args)
+    install_drain_handler(server)
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}",
                       "source": "qtree" if args.qtree else "ckpt"}),
@@ -664,7 +689,7 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        server.server_close()
+        server.server_close()   # joins in-flight handler threads (drain)
     return 0
 
 

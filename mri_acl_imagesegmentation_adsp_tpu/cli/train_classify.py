@@ -119,6 +119,13 @@ def main(argv: Optional[list] = None) -> int:
     p.set_defaults(amp=True)
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard each batch over N devices")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest snapshot in out-dir")
+    p.add_argument("--save-resume-every", type=int, default=0,
+                   help="epochs between resume snapshots (0 disables)")
+    p.add_argument("--preempt-save", action="store_true",
+                   help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
+                        "epoch boundary, clean stop; rerun with --resume")
     p.add_argument("--evaluate", default=None, metavar="CKPT",
                    help="Skip training; report loss/AUC of this checkpoint "
                         "on the datasheet's test split (vendored test.py)")
@@ -173,7 +180,9 @@ def main(argv: Optional[list] = None) -> int:
         # vendored behavior: the exact config rides with the run artifacts
         shutil.copyfile(args.config_file,
                         os.path.join(cargs.out_dir, "params.txt"))
-    result = trainer.fit()
+    result = trainer.fit(resume=args.resume,
+                         save_resume_every=args.save_resume_every,
+                         preempt_save=args.preempt_save)
     test_metrics = trainer.evaluate(test_ds, ckpt_path=result["best_ckpt"])
     with open(os.path.join(cargs.out_dir, "test_metrics.json"), "w",
               encoding="utf-8") as f:

@@ -138,6 +138,37 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
         return []
     grouped = list(group_records_by_file(records).items())
 
+    if getattr(args, "skip_existing", False):
+        # crash-resumable corpus runs: a pack is complete iff stats.json
+        # exists (save_pack writes it LAST), so partially-written packs
+        # from an interrupted run are redone while finished ones are not.
+        # At link-bound sustained rates a full corpus takes hours — redoing
+        # it from volume 0 after a preemption is the expensive failure.
+        summary_skipped = []
+        remaining = []
+        for filepath, record_defs in grouped:
+            d = out_root / Path(filepath).stem
+            if (d / "volume.npz").is_file() and (d / "stats.json").is_file():
+                with open(d / "stats.json", encoding="utf-8") as f:
+                    n = int(json.load(f).get("count_slices", 0))
+                summary_skipped.append({
+                    "filepath": filepath,
+                    "output_dir": str(d),
+                    "npz_path": str(d / "volume.npz"),
+                    "num_slices": n,
+                    "skipped_existing": True,
+                })
+            else:
+                remaining.append((filepath, record_defs))
+        if summary_skipped:
+            print(f"[preprocess] skip-existing: {len(summary_skipped)} of "
+                  f"{len(grouped)} volumes already packed")
+        grouped = remaining
+        if not grouped:
+            return summary_skipped
+    else:
+        summary_skipped = []
+
     class _Loads:
         """Indexable volume-load view for the prefetch thread."""
 
@@ -182,7 +213,7 @@ def build_preprocess(args, adapter: BaseAdapter) -> List[Dict[str, Any]]:
             })
         for w in writes:
             w.result()  # surface writer errors; all artifacts durable
-    return summary
+    return summary_skipped + summary
 
 
 def _parse_pair(value, name: str):

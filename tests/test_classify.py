@@ -219,3 +219,50 @@ def test_classifier_trainer_data_parallel_matches(classification_data,
     tr_dp, vl_dp = run(2, "clf_dp")
     assert abs(tr_dp - tr_ref) < 1e-4, (tr_dp, tr_ref)
     assert abs(vl_dp - vl_ref) < 1e-4, (vl_dp, vl_ref)
+
+
+def test_classifier_resume_and_preempt_matches_uninterrupted(
+        classification_data, tmp_path):
+    """Epoch shuffles are seeded per epoch (stateless), so preempt-after-
+    epoch-2 then --resume produces the same params/history as an
+    uninterrupted 4-epoch run (EarlyStopping/plateau counters ride the
+    snapshot)."""
+    import jax
+
+    sheet, root = classification_data
+
+    def make(name):
+        train = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                               istrain=True, isval=False, istest=False)
+        val = T2SliceDataset(sheet, root, norm_type=2, augment=False,
+                             istrain=False, isval=True, istest=False)
+        args = ClassifierArgs(out_dir=str(tmp_path / name), model="tiny",
+                              epochs=4, batch_size=2, amp=False)
+        return ClassifierTrainer(args, train, val)
+
+    t_ref = make("clf_ref")
+    ref = t_ref.fit()
+
+    t_int = make("clf_int")
+    orig = t_int._epoch_pass
+
+    def pass_then_preempt(train, ds=None):
+        out = orig(train, ds)
+        if not train and t_int.epoch == 2:
+            t_int.request_preempt()
+        return out
+
+    t_int._epoch_pass = pass_then_preempt
+    r_int = t_int.fit(preempt_save=True)
+    assert len(r_int["history"]) == 2
+    snaps = os.listdir(os.path.join(str(tmp_path / "clf_int"),
+                                    "checkpoints"))
+    assert "resume_000002" in snaps, snaps
+
+    t_res = make("clf_int")
+    r_res = t_res.fit(resume=True)
+    assert [h["epoch"] for h in r_res["history"]] == [1, 2, 3, 4]
+    for a, b in zip(jax.tree.leaves((t_ref.params, t_ref.opt_state)),
+                    jax.tree.leaves((t_res.params, t_res.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ref["history"] == r_res["history"]

@@ -361,3 +361,47 @@ def test_knee_npz_dataset_formats(tmp_path, rng):
     assert x.shape == (3, 24, 24)
     with pytest.raises(AssertionError):
         KneeNPZ2DSlices(str(lst), k=2)
+
+
+def test_build_preprocess_skip_existing(tmp_path, rng):
+    """--skip-existing: complete packs (stats.json is written last) are not
+    redone; a pack missing its completeness marker IS redone; output
+    artifacts match a from-scratch run."""
+    import os
+    from types import SimpleNamespace
+
+    from oracles import synthetic_kspace_volume, write_fake_fastmri_h5
+    from mri_acl_imagesegmentation_adsp_tpu.data.adapters import (
+        FastMRISinglecoilAdapter)
+
+    root = tmp_path / "raw"
+    root.mkdir()
+    for i in range(3):
+        ksp, _ = synthetic_kspace_volume(rng, s=4, h=48, w=48)
+        write_fake_fastmri_h5(str(root / f"v{i}.h5"), ksp)
+    art = tmp_path / "art"
+    spec = dict(root_dir=str(root), out_dir=str(art), height=48, width=48,
+                slice_keep="0.0,1.0", clip="1.0,99.5", use_n4=False,
+                use_denoise=False, preview_max=1)
+    adapter = FastMRISinglecoilAdapter(root_dir=str(root))
+
+    s1 = build_preprocess(SimpleNamespace(**spec), adapter)
+    assert len(s1) == 3 and not any(e.get("skipped_existing") for e in s1)
+    mtimes = {e["npz_path"]: os.path.getmtime(e["npz_path"]) for e in s1}
+
+    # second run with skip_existing: nothing redone
+    s2 = build_preprocess(SimpleNamespace(**spec, skip_existing=True),
+                          adapter)
+    assert len(s2) == 3 and all(e.get("skipped_existing") for e in s2)
+    assert all(e["num_slices"] == 4 for e in s2)
+    for e in s2:
+        assert os.path.getmtime(e["npz_path"]) == mtimes[e["npz_path"]]
+
+    # simulate a crash mid-write of v1: stats.json (written LAST) missing
+    os.remove(os.path.join(os.path.dirname(s1[1]["npz_path"]), "stats.json"))
+    s3 = build_preprocess(SimpleNamespace(**spec, skip_existing=True),
+                          adapter)
+    redone = [e for e in s3 if not e.get("skipped_existing")]
+    assert len(redone) == 1 and "v1" in redone[0]["output_dir"]
+    assert os.path.isfile(os.path.join(
+        os.path.dirname(redone[0]["npz_path"]), "stats.json"))

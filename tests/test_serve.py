@@ -569,3 +569,42 @@ def test_serve_mask_only_request_uses_device_threshold(served):
         disagree = m != host
         assert np.abs(want_probs[:, 0][disagree] - 0.5
                       ).max(initial=0.0) < 1e-5
+
+
+def test_graceful_drain_completes_inflight_then_stops(tmp_path):
+    """install_drain_handler's drain path: after shutdown() the accept
+    loop stops, in-flight handler threads are joined by server_close
+    (daemon_threads=False), and new connections are refused."""
+    import time
+    import urllib.error
+
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 1, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp_path / "best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+        warmup_shape="2,32,32"))
+    assert server.daemon_threads is False and server.block_on_close is True
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+
+    # one request through, then drain (what the SIGTERM handler does)
+    vol = np.random.default_rng(0).standard_normal((2, 32, 32)).astype(
+        np.float32)
+    r = _post_npz(url + "/v1/segment", img=vol)
+    assert r.status == 200
+
+    threading.Thread(target=server.shutdown, daemon=True).start()
+    server.server_close()           # joins in-flight threads
+    t.join(timeout=10)
+    assert not t.is_alive()
+    with pytest.raises((urllib.error.URLError, ConnectionError, OSError)):
+        _post_npz(url + "/v1/segment", img=vol)
