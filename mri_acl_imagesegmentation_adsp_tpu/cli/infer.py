@@ -66,6 +66,11 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", action="store_true",
                    help="compute dice/iou/hd95/assd vs the packed masks")
     p.add_argument("--save-probs", action="store_true")
+    p.add_argument("--tta", choices=("none", "hflip"), default="none",
+                   help="test-time augmentation: average probabilities "
+                        "over the horizontal-flip orbit (2x compute, "
+                        "typically a small Dice gain; matches the "
+                        "training recipes' HorizontalFlip)")
     p.add_argument("--quant", choices=("none", "int8", "folded"),
                    default="none",
                    help="post-training quantized serving path "
@@ -248,7 +253,7 @@ def _run(args, apply_fn, k: int, classes: int) -> int:
             gt = z["msk"].astype(np.uint8)
         probs = segment_volume_2d(apply_fn, vol, k=k,
                                   batch_size=args.batch_size, classes=classes,
-                                  mesh=mesh)
+                                  mesh=mesh, tta=args.tta)
         if classes == 1:
             pred = (probs[:, 0] > args.threshold).astype(np.uint8)
         else:

@@ -85,7 +85,7 @@ def _scanned_runner(apply_fn: Callable, classes: int) -> Callable:
 
 def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
                       batch_size: int = 16, classes: int = 1,
-                      mesh=None) -> np.ndarray:
+                      mesh=None, tta: str = "none") -> np.ndarray:
     """Segment a whole volume with a 2-D model.
 
     apply_fn: (x NHWC) -> logits NHWC (already bound to params).
@@ -101,7 +101,16 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     assumed replicated, as apply_fn closures built on host arrays are).
     batch_size rounds UP to a multiple of the mesh size so every device
     holds an equal slab.
+
+    ``tta``: "hflip" averages probabilities over the horizontal-flip
+    orbit (predict on x and on flip(x), flip the second prediction back)
+    — standard test-time augmentation matching the training recipes'
+    HorizontalFlip (train/augment.py); 2x compute, same dispatch
+    structure (the flip rides inside the wrapped apply_fn). "none" (the
+    default) preserves the reference's plain single-pass inference.
     """
+    if tta not in ("none", "hflip"):
+        raise ValueError(f"tta must be 'none' or 'hflip', got {tta!r}")
     vol = jnp.asarray(volume)
     if vol.ndim == 4:
         vol = vol[:, 0]
@@ -110,6 +119,25 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     if k % 2 != 1:
         raise ValueError(f"k must be odd (2.5-D stacks k//2 neighbors per "
                          f"side, dataio semantics); got k={k}")
+    if tta == "hflip":
+        base_fn = apply_fn
+
+        def apply_fn(xb):                       # noqa: F811 — tta wrapper
+            # TTA averages PROBABILITIES, but _run_scanned applies the
+            # activation to whatever this returns — so return the mean
+            # probability mapped back through the activation's inverse:
+            # logit(mean sigmoid) for binary, log(mean softmax) for
+            # multiclass (softmax(log p) == p). Downstream then yields the
+            # exact mean-probability ensemble.
+            logits = base_fn(xb)
+            flipped = base_fn(xb[:, :, ::-1, :])[:, :, ::-1, :]
+            if classes == 1:
+                p = 0.5 * (jax.nn.sigmoid(logits) + jax.nn.sigmoid(flipped))
+                p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+                return jnp.log(p) - jnp.log1p(-p)
+            pa = 0.5 * (jax.nn.softmax(logits, axis=-1)
+                        + jax.nn.softmax(flipped, axis=-1))
+            return jnp.log(jnp.clip(pa, 1e-30, None))
     x = _neighbor_stack(vol, k)              # (S,H,W,k)
     return _run_scanned(apply_fn, x, batch_size, classes, mesh)
 

@@ -230,7 +230,16 @@ class VarNetTrainer:
 
     # ------------------------------------------------------------------
 
-    def _step_batch(self, batch) -> float:
+    def _step_batch(self, batch) -> jnp.ndarray:
+        """One optimizer step; returns the loss as a DEVICE scalar.
+
+        Deliberately no float() here: a per-step device->host sync
+        serializes the step latency with the next step's host work (h5
+        read, stacking, upload) — on this environment's remote relay that
+        round-trip is ~18 ms/step. The epoch loop keeps the scalars and
+        syncs once at the end (with a rolling sync a few steps behind the
+        head as dispatch-queue backpressure), the same async pattern as
+        the 2-D engine's epoch scan."""
         k = jnp.asarray(np.stack([s.kspace for s in batch]))
         e = jnp.asarray(np.stack([s.espirit for s in batch]))
         t = jnp.asarray(np.stack([s.target for s in batch]))
@@ -241,26 +250,31 @@ class VarNetTrainer:
             self._lr_now(), jnp.float32)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, k, e, t, mv)
-        return float(loss)
+        return loss
+
+    _SYNC_LAG = 4   # sync the loss 4 steps behind the head
 
     def train_one_epoch(self) -> float:
         from ..data.prefetch import prefetch
         bs = max(1, int(getattr(self.args, "batch_size", 1)))
-        run, nb = 0.0, 0
+        losses: list = []
         batch = []
         for sample in prefetch(self.train_ds,
                                int(getattr(self.args, "num_workers", 0))):
             if batch and (len(batch) >= bs
                           or sample.kspace.shape != batch[0].kspace.shape
                           or sample.target.shape != batch[0].target.shape):
-                run += self._step_batch(batch)
-                nb += 1
+                losses.append(self._step_batch(batch))
+                if len(losses) > self._SYNC_LAG:
+                    # bound the dispatch queue without stalling the head
+                    losses[-1 - self._SYNC_LAG] = float(
+                        losses[-1 - self._SYNC_LAG])
                 batch = []
             batch.append(sample)
         if batch:
-            run += self._step_batch(batch)
-            nb += 1
-        return run / max(1, nb)
+            losses.append(self._step_batch(batch))
+        run = sum(float(l) for l in losses)
+        return run / max(1, len(losses))
 
     def validate(self) -> Dict[str, float]:
         """MriModule-style per-volume aggregation with slice dedup."""

@@ -125,3 +125,63 @@ def test_metrics_facade_vs_scipy_reference(rng):
     inter = (a & b).sum()
     e_dice = (2 * inter + 1e-7) / (a.sum() + b.sum() + 1e-7)
     assert abs(dice_bin(a.astype(np.uint8), b.astype(np.uint8)) - e_dice) < 1e-6
+
+
+def test_tta_hflip_is_exact_mean_probability(rng):
+    """tta='hflip' must equal the hand-computed mean of sigmoid(model(x))
+    and flipped-back sigmoid(model(flip(x))) — the logit(mean-prob)
+    re-encoding is exact, not an approximation."""
+    vol = rng.standard_normal((5, 1, 16, 16)).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+
+    def apply_fn(x):   # asymmetric in W so the flip matters
+        return (x[..., :1] * w[None, None, :, None]
+                + 0.3 * x[..., :1] ** 2)
+
+    plain = segment_volume_2d(apply_fn, vol, k=1, batch_size=2)
+    tta = segment_volume_2d(apply_fn, vol, k=1, batch_size=2, tta="hflip")
+    assert not np.allclose(tta, plain), "flip must change an asymmetric model"
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-np.asarray(v, np.float64)))
+
+    x = jnp.asarray(vol[:, 0])[..., None]     # (S,H,W,1)
+    p1 = sig(apply_fn(x))
+    p2 = sig(apply_fn(x[:, :, ::-1, :])[:, :, ::-1, :])
+    want = np.moveaxis(0.5 * (p1 + p2), -1, 1)
+    np.testing.assert_allclose(tta, want, atol=1e-5)
+
+
+def test_tta_hflip_multiclass_softmax_mean(rng):
+    vol = rng.standard_normal((3, 1, 8, 8)).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+
+    def apply_fn(x):
+        return x[..., :1] * w[None, None, :, :]   # (B,H,W,3), W-asymmetric
+
+    tta = segment_volume_2d(apply_fn, vol, k=1, batch_size=2, classes=3,
+                            tta="hflip")
+
+    def soft(v):
+        v = np.asarray(v, np.float64)
+        e = np.exp(v - v.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    x = jnp.asarray(vol[:, 0])[..., None]
+    p1 = soft(apply_fn(x))
+    p2 = soft(apply_fn(x[:, :, ::-1, :])[:, :, ::-1, :])
+    want = np.moveaxis(0.5 * (p1 + p2), -1, 1)
+    np.testing.assert_allclose(tta, want, atol=1e-5)
+    np.testing.assert_allclose(tta.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_tta_symmetric_model_matches_plain(rng):
+    """A W-symmetric model makes hflip TTA a no-op (sanity invariance)."""
+    vol = rng.standard_normal((4, 1, 12, 12)).astype(np.float32)
+
+    def apply_fn(x):
+        return x[..., :1] ** 2     # even in the input; flip-equivariant
+
+    plain = segment_volume_2d(apply_fn, vol, k=1, batch_size=2)
+    tta = segment_volume_2d(apply_fn, vol, k=1, batch_size=2, tta="hflip")
+    np.testing.assert_allclose(tta, plain, atol=1e-5)
