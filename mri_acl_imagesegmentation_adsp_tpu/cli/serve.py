@@ -474,18 +474,22 @@ def _build_runner(args):
 
     window = float(getattr(args, "microbatch_window_ms", 0.0) or 0.0)
 
+    tta = getattr(args, "tta", "none") or "none"
     if args.qtree:
         from .quantize import load_engine
+        from ..infer.segment import tta_wrap
         eng, qtree, meta = load_engine(args.qtree)
         norm = make_input_norm(bool(meta.get("imagenet_norm")))
 
         def apply_fn(x):
             return eng.apply(qtree, norm(x))
 
-        return _ModelRunner(apply_fn, meta["k"], meta["classes"], "qtree",
+        return _ModelRunner(tta_wrap(apply_fn, meta["classes"], tta),
+                            meta["k"], meta["classes"], "qtree",
                             args.batch_size, pre_out_size=pre_out, mesh=mesh,
                             microbatch_window_ms=window)
 
+    from ..infer.segment import tta_wrap
     model, params, batch_stats, margs = load_model_from_ckpt(args.ckpt)
     norm = make_input_norm(bool(margs.get("imagenet_norm")))
 
@@ -493,7 +497,8 @@ def _build_runner(args):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            norm(x), train=False)
 
-    return _ModelRunner(apply_fn, margs.get("k", 1),
+    return _ModelRunner(tta_wrap(apply_fn, margs.get("classes", 1), tta),
+                        margs.get("k", 1),
                         margs.get("classes", 1), "ckpt", args.batch_size,
                         pre_out_size=pre_out, mesh=mesh,
                         microbatch_window_ms=window)
@@ -668,6 +673,10 @@ def main(argv=None) -> int:
                    help="'S,H,W' to pre-compile at the production volume "
                         "shape before accepting requests (e.g. 16,320,320); "
                         "empty = no warmup, first request pays the compile")
+    p.add_argument("--tta", choices=("none", "hflip"), default="none",
+                   help="serve with horizontal-flip test-time augmentation "
+                        "(--task segment; exact mean-probability ensemble, "
+                        "2x device compute per request)")
     p.add_argument("--microbatch-window-ms", type=float, default=0.0,
                    help="coalesce concurrent /v1/segment requests arriving "
                         "within this window into ONE device dispatch "

@@ -109,8 +109,6 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     structure (the flip rides inside the wrapped apply_fn). "none" (the
     default) preserves the reference's plain single-pass inference.
     """
-    if tta not in ("none", "hflip"):
-        raise ValueError(f"tta must be 'none' or 'hflip', got {tta!r}")
     vol = jnp.asarray(volume)
     if vol.ndim == 4:
         vol = vol[:, 0]
@@ -119,27 +117,38 @@ def segment_volume_2d(apply_fn: Callable, volume: np.ndarray, k: int = 1,
     if k % 2 != 1:
         raise ValueError(f"k must be odd (2.5-D stacks k//2 neighbors per "
                          f"side, dataio semantics); got k={k}")
-    if tta == "hflip":
-        base_fn = apply_fn
-
-        def apply_fn(xb):                       # noqa: F811 — tta wrapper
-            # TTA averages PROBABILITIES, but _run_scanned applies the
-            # activation to whatever this returns — so return the mean
-            # probability mapped back through the activation's inverse:
-            # logit(mean sigmoid) for binary, log(mean softmax) for
-            # multiclass (softmax(log p) == p). Downstream then yields the
-            # exact mean-probability ensemble.
-            logits = base_fn(xb)
-            flipped = base_fn(xb[:, :, ::-1, :])[:, :, ::-1, :]
-            if classes == 1:
-                p = 0.5 * (jax.nn.sigmoid(logits) + jax.nn.sigmoid(flipped))
-                p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
-                return jnp.log(p) - jnp.log1p(-p)
-            pa = 0.5 * (jax.nn.softmax(logits, axis=-1)
-                        + jax.nn.softmax(flipped, axis=-1))
-            return jnp.log(jnp.clip(pa, 1e-30, None))
+    apply_fn = tta_wrap(apply_fn, classes, tta)
     x = _neighbor_stack(vol, k)              # (S,H,W,k)
     return _run_scanned(apply_fn, x, batch_size, classes, mesh)
+
+
+def tta_wrap(apply_fn: Callable, classes: int, tta: str) -> Callable:
+    """Wrap a logits apply_fn with horizontal-flip test-time augmentation.
+
+    TTA averages PROBABILITIES, but the scanned runners apply the
+    activation to whatever the wrapped fn returns — so it returns the
+    mean probability mapped back through the activation's inverse:
+    logit(mean sigmoid) for binary, log(mean softmax) for multiclass
+    (softmax(log p) == p). Downstream then yields the exact
+    mean-probability ensemble. Shared by segment_volume(s)_2d and the
+    serving daemon (--tta hflip)."""
+    if tta in (None, "none"):
+        return apply_fn
+    if tta != "hflip":
+        raise ValueError(f"tta must be 'none' or 'hflip', got {tta!r}")
+
+    def tta_fn(xb):
+        logits = apply_fn(xb)
+        flipped = apply_fn(xb[:, :, ::-1, :])[:, :, ::-1, :]
+        if classes == 1:
+            p = 0.5 * (jax.nn.sigmoid(logits) + jax.nn.sigmoid(flipped))
+            p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+            return jnp.log(p) - jnp.log1p(-p)
+        pa = 0.5 * (jax.nn.softmax(logits, axis=-1)
+                    + jax.nn.softmax(flipped, axis=-1))
+        return jnp.log(jnp.clip(pa, 1e-30, None))
+
+    return tta_fn
 
 
 def _run_scanned(apply_fn: Callable, x: jnp.ndarray, batch_size: int,

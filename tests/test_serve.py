@@ -608,3 +608,41 @@ def test_graceful_drain_completes_inflight_then_stops(tmp_path):
     assert not t.is_alive()
     with pytest.raises((urllib.error.URLError, ConnectionError, OSError)):
         _post_npz(url + "/v1/segment", img=vol)
+
+
+def test_serve_tta_hflip_matches_direct(tmp_path):
+    """--tta hflip at the daemon level == segment_volume_2d(tta='hflip')."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volume_2d
+
+    args_dict = {"model": "unet", "encoder": "resnet18", "k": 1,
+                 "classes": 1, "amp": False, "imagenet_norm": False}
+    model = build_unet("unet", "resnet18", "none", in_ch=1, classes=1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 1)), train=True)
+    ckpt = str(tmp_path / "best.ckpt")
+    ckpt_lib.save_best(ckpt, variables["params"],
+                       variables.get("batch_stats", {}), args_dict)
+    server = create_server(SimpleNamespace(
+        qtree=None, ckpt=ckpt, host="127.0.0.1", port=0, batch_size=4,
+        warmup_shape="", tta="hflip"))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        vol = np.random.default_rng(3).standard_normal(
+            (5, 32, 32)).astype(np.float32)
+        with _post_npz(url + "/v1/segment?probs=1", img=vol) as r:
+            out = np.load(io.BytesIO(r.read()))
+
+        def apply_fn(x):
+            return model.apply(variables, x, train=False)
+
+        want = segment_volume_2d(apply_fn, vol, k=1, batch_size=4,
+                                 tta="hflip")
+        np.testing.assert_allclose(out["probs"], want, atol=1e-5)
+        plain = segment_volume_2d(apply_fn, vol, k=1, batch_size=4)
+        assert not np.allclose(want, plain), "TTA must differ from plain"
+    finally:
+        server.shutdown()
+        server.server_close()
