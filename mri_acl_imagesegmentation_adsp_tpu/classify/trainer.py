@@ -84,6 +84,7 @@ class ClassifierArgs:
                                    # (ConvNeXt LayerNorm is per-sample, so
                                    # DP == 1-device math up to loss-mean
                                    # reassociation)
+    resume_keep: int = 0           # keep newest N resume snapshots (0 = all)
 
 
 class ClassifierTrainer:
@@ -225,7 +226,8 @@ class ClassifierTrainer:
             "history": self.history,
         }
         ckpt_lib.save_resume(self.args.out_dir, epoch,
-                             (self.params, self.opt_state), host)
+                             (self.params, self.opt_state), host,
+                             keep=self.args.resume_keep)
 
     def _try_resume(self) -> bool:
         d = ckpt_lib.latest_resume_dir(self.args.out_dir)

@@ -31,7 +31,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "model", "encoder", "encoder_weights", "aug", "imagenet_norm", "k",
     "classes", "logger", "save_val_probs", "max_grad_norm", "amp", "seed",
     "data_parallel", "store_dtype", "resume", "save_resume_every",
-    "save_resume_steps",
+    "save_resume_steps", "resume_keep",
     "profile_epochs", "store_sharded", "remat", "accum_steps",
     "ckpt_backend", "preempt_save",
 )
@@ -216,6 +216,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "(step-indexed data-iterator state; kill-then-"
                           "resume continues inside the epoch, bit-equal "
                           "to an uninterrupted run).")
+    tpu.add_argument("--resume-keep", type=int, default=0,
+                     help="Keep only the newest N resume snapshots on disk "
+                          "(0 = keep all). Bounds the otherwise unbounded "
+                          "one-full-snapshot-per-interval growth of "
+                          "--save-resume-steps runs.")
     tpu.add_argument("--ckpt-backend", default="msgpack",
                      choices=["msgpack", "orbax"],
                      help="Resume-snapshot format. orbax saves sharded "

@@ -123,6 +123,8 @@ def main(argv: Optional[list] = None) -> int:
                    help="resume from the newest snapshot in out-dir")
     p.add_argument("--save-resume-every", type=int, default=0,
                    help="epochs between resume snapshots (0 disables)")
+    p.add_argument("--resume-keep", type=int, default=0,
+                   help="keep only the newest N resume snapshots (0 = all)")
     p.add_argument("--preempt-save", action="store_true",
                    help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
                         "epoch boundary, clean stop; rerun with --resume")
@@ -150,6 +152,7 @@ def main(argv: Optional[list] = None) -> int:
                             else 32)
         cargs.amp = args.amp
         cargs.data_parallel = args.data_parallel
+        cargs.resume_keep = args.resume_keep
     else:
         cargs = ClassifierArgs(
             out_dir=args.out_dir, model=args.model, diff=(args.mode == "dwi"),
@@ -159,7 +162,7 @@ def main(argv: Optional[list] = None) -> int:
             epochs=args.epochs,
             batch_size=args.batch_size if args.batch_size is not None else 8,
             patience=args.patience, seed=seed, amp=args.amp,
-            data_parallel=args.data_parallel)
+            data_parallel=args.data_parallel, resume_keep=args.resume_keep)
         datasheet, datapath = args.datasheet, args.data_path
         norm_type, augment = args.norm_type, args.augment
     if not datasheet or not datapath:

@@ -63,6 +63,8 @@ def main(argv=None) -> int:
                         "(vendored train_varnet_prostate.py behavior).")
     p.add_argument("--save-resume-every", type=int, default=1,
                    help="Epochs between resume snapshots (0 disables).")
+    p.add_argument("--resume-keep", type=int, default=0,
+                   help="Keep only the newest N resume snapshots (0 = all).")
     p.add_argument("--preempt-save", action="store_true",
                    help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
                         "epoch boundary, clean stop; rerun with --resume.")
@@ -110,7 +112,8 @@ def main(argv=None) -> int:
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
         amp=args.amp, batch_size=args.batch_size,
-        num_workers=args.num_workers, ckpt_backend=args.ckpt_backend)
+        num_workers=args.num_workers, ckpt_backend=args.ckpt_backend,
+        resume_keep=args.resume_keep)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds,
                             mesh=mesh, pipe_mesh=pipe_mesh)
     if args.mode == "train":

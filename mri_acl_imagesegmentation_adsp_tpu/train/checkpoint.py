@@ -125,19 +125,62 @@ def save_train_state(dirpath: str, state, host_state: Dict[str, Any],
 
 def save_resume(out_dir: str, epoch: int, state,
                 host_state: Dict[str, Any],
-                backend: str = "msgpack", step: Optional[int] = None) -> str:
+                backend: str = "msgpack", step: Optional[int] = None,
+                keep: int = 0) -> str:
     """Owns the checkpoints/resume_%06d[_%06d] naming convention (paired
     with latest_resume_dir); used by every trainer.
 
     ``step`` marks a MID-epoch snapshot: ``epoch`` is then the number of
     fully completed epochs (so ``resume_000004_000300`` = epoch 4 done +
     300 steps into epoch 5) — the tuple sort in latest_resume_dir then
-    orders (4,) < (4,300) < (5,) chronologically."""
+    orders (4,) < (4,300) < (5,) chronologically.
+
+    ``keep`` > 0 bounds on-disk snapshot count: after the new snapshot is
+    PUBLISHED, all but the newest ``keep`` complete snapshots (and any
+    stale ``*.tmp`` from crashed saves) are deleted. 0 keeps everything.
+    A long run with --save-resume-steps otherwise accumulates one full
+    (params + optimizer) snapshot per interval, unbounded."""
     name = f"resume_{epoch:06d}" if step is None else \
         f"resume_{epoch:06d}_{step:06d}"
     d = os.path.join(out_dir, "checkpoints", name)
     save_train_state(d, state, host_state, backend=backend)
+    if keep > 0:
+        prune_resume_dirs(out_dir, keep)
     return d
+
+
+def prune_resume_dirs(out_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` COMPLETE resume snapshots, plus
+    stale ``*.tmp`` dirs left by crashed saves.
+
+    Ordered AFTER the new snapshot's publish rename (see save_resume), so a
+    crash mid-prune can only lose OLD snapshots — latest_resume_dir still
+    finds the newest one. Primary-process-only: on a shared filesystem the
+    non-primary hosts must not race the rmtrees (same protocol as
+    save_train_state); a barrier afterwards keeps hosts in step."""
+    root = os.path.join(out_dir, "checkpoints")
+    if keep <= 0 or not os.path.isdir(root):
+        return
+    if _is_primary():
+        import shutil
+        complete = []
+        for dname in sorted(os.listdir(root)):
+            if not dname.startswith("resume_"):
+                continue
+            full = os.path.join(root, dname)
+            if dname.endswith(".tmp"):
+                # a tmp dir observed here is stale: the in-flight save (if
+                # any) was renamed away before prune ran
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            has_state = (os.path.isfile(os.path.join(full, "state.msgpack"))
+                         or os.path.isdir(os.path.join(full, "state.orbax")))
+            if has_state and os.path.isfile(os.path.join(full, "host.json")):
+                complete.append(dname)
+        complete.sort(key=lambda d: tuple(int(p) for p in d.split("_")[1:]))
+        for dname in complete[:-keep]:
+            shutil.rmtree(os.path.join(root, dname), ignore_errors=True)
+    _multihost_sync("ckpt:pruned")
 
 
 def load_train_state(dirpath: str, target_state) -> Tuple[Any, Dict[str, Any]]:

@@ -84,6 +84,7 @@ class UNet2DArgs:
     resume: bool = False                     # resume from newest snapshot
     save_resume_every: int = 0               # epochs between resume snapshots
     save_resume_steps: int = 0               # steps between MID-epoch snapshots
+    resume_keep: int = 0                     # keep newest N snapshots (0=all)
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
     store_sharded: bool = False              # shard slice store over the mesh
     multihost: bool = False                  # jax.distributed multi-host (DCN)
@@ -258,7 +259,8 @@ class UNet2DTrainer:
         self.start_epoch = epoch + 1
         ckpt_lib.save_resume(str(self.out_dir), epoch, self.state,
                              self._host_state(),
-                             backend=self.args.ckpt_backend)
+                             backend=self.args.ckpt_backend,
+                             keep=self.args.resume_keep)
 
     def _save_mid_resume(self, epoch: int, steps_done: int,
                          ep_key: jax.Array, aug_key: jax.Array,
@@ -282,7 +284,8 @@ class UNet2DTrainer:
             "losses": [float(v) for v in np.asarray(losses)],
         }
         ckpt_lib.save_resume(str(self.out_dir), epoch - 1, self.state, host,
-                             backend=self.args.ckpt_backend, step=steps_done)
+                             backend=self.args.ckpt_backend, step=steps_done,
+                             keep=self.args.resume_keep)
 
     def _try_resume(self) -> None:
         d = ckpt_lib.latest_resume_dir(str(self.out_dir))

@@ -163,6 +163,7 @@ class UNet3DArgs:
                                     # mesh
     resume: bool = False            # resume from the newest snapshot
     save_resume_every: int = 0      # epochs between resume snapshots
+    resume_keep: int = 0            # keep newest N snapshots (0 = all)
     preempt_save: bool = False      # SIGTERM/SIGUSR1 -> snapshot + stop
     ckpt_backend: str = "msgpack"   # resume format: msgpack|orbax
 
@@ -385,7 +386,8 @@ class UNet3DTrainer:
     def _save_resume(self, epoch: int) -> None:
         ckpt_lib.save_resume(self.args.out_dir, epoch, self._ckpt_state(),
                              self._host_state(epoch),
-                             backend=self.args.ckpt_backend)
+                             backend=self.args.ckpt_backend,
+                             keep=self.args.resume_keep)
 
     def _try_resume(self) -> None:
         d = ckpt_lib.latest_resume_dir(self.args.out_dir)
@@ -475,6 +477,8 @@ def parse_args(argv=None) -> UNet3DArgs:
                         "(params + optimizer + sampler RNG state)")
     p.add_argument("--save-resume-every", type=int, default=0,
                    help="write a resume snapshot every N epochs")
+    p.add_argument("--resume-keep", type=int, default=0,
+                   help="keep only the newest N resume snapshots (0 = all)")
     p.add_argument("--preempt-save", action="store_true",
                    help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
                         "epoch boundary, clean stop; rerun with --resume")
@@ -492,6 +496,7 @@ def parse_args(argv=None) -> UNet3DArgs:
         device_sampling=a.device_sampling, accum_steps=a.accum_steps,
         data_parallel=a.data_parallel, spatial_parallel=a.spatial_parallel,
         resume=a.resume, save_resume_every=a.save_resume_every,
+        resume_keep=a.resume_keep,
         preempt_save=a.preempt_save, ckpt_backend=a.ckpt_backend,
     )
 

@@ -82,6 +82,7 @@ class VarNetArgs:
     # as data.prefetch.Prefetcher + GIL-free native h5 slab reads.
     num_workers: int = 0
     ckpt_backend: str = "msgpack"   # resume snapshot format: msgpack|orbax
+    resume_keep: int = 0            # keep newest N snapshots (0 = all)
 
 
 def build_varnet_from_args(a, mesh=None) -> VarNet:
@@ -359,7 +360,7 @@ class VarNetTrainer:
             self.args.out_dir, epoch,
             {"params": self.params, "opt_state": self.opt_state},
             {"epoch": epoch, "best_val": self.best_val},
-            backend=self.args.ckpt_backend)
+            backend=self.args.ckpt_backend, keep=self.args.resume_keep)
 
     def try_resume(self) -> bool:
         """Auto-resume from the newest snapshot in out_dir (vendored

@@ -91,3 +91,33 @@ def test_unknown_backend_rejected(tmp_path):
     with pytest.raises(ValueError, match="backend"):
         ckpt.save_train_state(str(tmp_path / "x"), _state(), {},
                               backend="pickle")
+
+
+def test_resume_keep_prunes_oldest(tmp_path):
+    """keep=N bounds on-disk snapshots: only the newest N complete dirs
+    survive (mid-epoch names sort between their epoch boundaries), stale
+    *.tmp dirs from crashed saves are swept, and keep=0 keeps all."""
+    state = _state()
+    out = str(tmp_path / "run")
+
+    # keep=0 (default): everything accumulates
+    for ep in range(3):
+        ckpt.save_resume(out, ep, state, {"epoch": ep})
+    root = os.path.join(out, "checkpoints")
+    assert len(os.listdir(root)) == 3
+
+    # a crashed save's leftover tmp dir
+    os.makedirs(os.path.join(root, "resume_000099.tmp"))
+
+    # keep=2: epoch 3 + a mid-epoch snapshot (3 done, 40 steps into 4)
+    ckpt.save_resume(out, 3, state, {"epoch": 3}, keep=2)
+    ckpt.save_resume(out, 3, state, {"epoch": 3, "mid": True}, step=40,
+                     keep=2)
+    left = sorted(os.listdir(root))
+    assert left == ["resume_000003", "resume_000003_000040"]
+    # the survivor picked for resume is the mid-epoch one (newest)
+    assert ckpt.latest_resume_dir(out).endswith("resume_000003_000040")
+    # survivors still load
+    _, host = ckpt.load_train_state(ckpt.latest_resume_dir(out),
+                                    jax.tree.map(jnp.zeros_like, state))
+    assert host.get("mid") is True
