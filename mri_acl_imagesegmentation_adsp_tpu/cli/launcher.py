@@ -33,7 +33,7 @@ _FORWARDED_TRAIN_FIELDS = (
     "data_parallel", "store_dtype", "resume", "save_resume_every",
     "save_resume_steps", "resume_keep",
     "profile_epochs", "store_sharded", "remat", "accum_steps",
-    "ckpt_backend", "preempt_save",
+    "ckpt_backend", "ckpt_async", "preempt_save",
 )
 
 
@@ -226,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Resume-snapshot format. orbax saves sharded "
                           "state per-shard (no host gather; multi-host "
                           "safe) and reshards on restore.")
+    tpu.add_argument("--ckpt-async", action="store_true",
+                     help="Non-blocking resume snapshots (orbax backend "
+                          "only): orbax copies device state to host "
+                          "synchronously, then shard writes overlap the "
+                          "next training chunk; the snapshot is published "
+                          "(visible to --resume) at the next snapshot "
+                          "point or run end.")
     tpu.add_argument("--preempt-save", action="store_true",
                      help="On SIGTERM/SIGUSR1 (preemption notice), write a "
                           "resume snapshot at the next chunk/epoch boundary "

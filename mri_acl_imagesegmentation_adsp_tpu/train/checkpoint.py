@@ -123,6 +123,91 @@ def save_train_state(dirpath: str, state, host_state: Dict[str, Any],
     _multihost_sync("ckpt:published")
 
 
+class PendingSnapshot:
+    """Handle for an in-flight ASYNC snapshot (orbax backend).
+
+    ``save_train_state_async`` returns one after orbax's synchronous
+    device->host copy; the shard WRITES continue in the background while
+    training proceeds. ``finalize()`` blocks until every shard has
+    committed, then runs the same publish protocol as the blocking path
+    (host.json is already in the tmp dir; primary renames tmp -> final,
+    prunes if asked). Until finalize, latest_resume_dir cannot see the
+    snapshot — the tmp suffix keeps half-flushed state unreachable, so a
+    crash mid-flush falls back to the previous snapshot exactly like a
+    crash mid-blocking-save.
+    """
+
+    def __init__(self, ckptr, tmp: str, dirpath: str,
+                 out_dir: Optional[str] = None, keep: int = 0):
+        self._ckptr = ckptr
+        self._tmp = tmp
+        self._dirpath = dirpath
+        self._out_dir = out_dir
+        self._keep = keep
+        self._done = False
+
+    def finalize(self) -> str:
+        if self._done:
+            return self._dirpath
+        self._ckptr.wait_until_finished()
+        _multihost_sync("ckpt:async-save-done")
+        if _is_primary():
+            if os.path.isdir(self._dirpath):
+                import shutil
+                shutil.rmtree(self._dirpath)
+            os.replace(self._tmp, self._dirpath)
+        _multihost_sync("ckpt:async-published")
+        try:
+            self._ckptr.close()
+        except Exception:
+            pass
+        self._done = True
+        if self._keep > 0 and self._out_dir:
+            prune_resume_dirs(self._out_dir, self._keep)
+        return self._dirpath
+
+
+def save_train_state_async(dirpath: str, state,
+                           host_state: Dict[str, Any]) -> PendingSnapshot:
+    """Non-blocking snapshot (orbax only): enqueue and return.
+
+    orbax's AsyncCheckpointer copies device arrays to host BEFORE
+    returning from save(), so the caller may immediately rebind/donate the
+    live training state; only the disk writes overlap the next steps. The
+    caller must finalize() before starting another snapshot of the same
+    run and before relying on the snapshot for resume.
+    """
+    tmp = dirpath + ".tmp"
+    if _is_primary():
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        # host state is plain JSON — write it up front so finalize is just
+        # wait + rename
+        with open(os.path.join(tmp, "host.json"), "w", encoding="utf-8") as f:
+            json.dump(host_state, f, indent=2)
+    _multihost_sync("ckpt:async-tmp-ready")
+    _, ckptr = _orbax_checkpointer()
+    ckptr.save(os.path.abspath(os.path.join(tmp, "state.orbax")), state)
+    return PendingSnapshot(ckptr, tmp, dirpath)
+
+
+def save_resume_async(out_dir: str, epoch: int, state,
+                      host_state: Dict[str, Any],
+                      step: Optional[int] = None,
+                      keep: int = 0) -> PendingSnapshot:
+    """Async variant of save_resume (same naming contract). Pruning runs
+    at finalize time, after the new snapshot is published."""
+    name = f"resume_{epoch:06d}" if step is None else \
+        f"resume_{epoch:06d}_{step:06d}"
+    d = os.path.join(out_dir, "checkpoints", name)
+    pending = save_train_state_async(d, state, host_state)
+    pending._out_dir = out_dir
+    pending._keep = keep
+    return pending
+
+
 def save_resume(out_dir: str, epoch: int, state,
                 host_state: Dict[str, Any],
                 backend: str = "msgpack", step: Optional[int] = None,

@@ -85,6 +85,9 @@ class UNet2DArgs:
     save_resume_every: int = 0               # epochs between resume snapshots
     save_resume_steps: int = 0               # steps between MID-epoch snapshots
     resume_keep: int = 0                     # keep newest N snapshots (0=all)
+    ckpt_async: bool = False                 # non-blocking snapshots (orbax):
+    #   shard writes overlap the next training chunk; published (and only
+    #   then visible to --resume) at the next snapshot point or run end
     profile_epochs: int = 0                  # jax.profiler trace first N epochs
     store_sharded: bool = False              # shard slice store over the mesh
     multihost: bool = False                  # jax.distributed multi-host (DCN)
@@ -125,6 +128,11 @@ class UNet2DTrainer:
 
     def __init__(self, args: UNet2DArgs):
         self.args = args
+        if args.ckpt_async and args.ckpt_backend != "orbax":
+            raise ValueError("--ckpt-async requires --ckpt-backend orbax "
+                             "(msgpack snapshots gather to host and write "
+                             "synchronously)")
+        self._pending_ckpt = None
         self.out_dir = Path(args.out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self._dump_config()
@@ -255,8 +263,21 @@ class UNet2DTrainer:
             "rng": np.asarray(jax.random.key_data(self.rng)).tolist(),
         }
 
+    def _finalize_pending(self) -> None:
+        """Publish an in-flight async snapshot (no-op otherwise)."""
+        p = getattr(self, "_pending_ckpt", None)
+        if p is not None:
+            p.finalize()
+            self._pending_ckpt = None
+
     def _save_resume(self, epoch: int) -> None:
         self.start_epoch = epoch + 1
+        if self.args.ckpt_async:
+            self._finalize_pending()
+            self._pending_ckpt = ckpt_lib.save_resume_async(
+                str(self.out_dir), epoch, self.state, self._host_state(),
+                keep=self.args.resume_keep)
+            return
         ckpt_lib.save_resume(str(self.out_dir), epoch, self.state,
                              self._host_state(),
                              backend=self.args.ckpt_backend,
@@ -283,6 +304,12 @@ class UNet2DTrainer:
             "aug_key": np.asarray(jax.random.key_data(aug_key)).tolist(),
             "losses": [float(v) for v in np.asarray(losses)],
         }
+        if self.args.ckpt_async:
+            self._finalize_pending()
+            self._pending_ckpt = ckpt_lib.save_resume_async(
+                str(self.out_dir), epoch - 1, self.state, host,
+                step=steps_done, keep=self.args.resume_keep)
+            return
         ckpt_lib.save_resume(str(self.out_dir), epoch - 1, self.state, host,
                              backend=self.args.ckpt_backend, step=steps_done,
                              keep=self.args.resume_keep)
@@ -431,7 +458,13 @@ class UNet2DTrainer:
 
     def run(self) -> Dict[str, Any]:
         with _preempt_signals(self.args.preempt_save, self.request_preempt):
-            return self._run()
+            try:
+                return self._run()
+            finally:
+                # a crash between snapshots must still publish the last
+                # fully-flushed async snapshot (it is complete data; only
+                # the rename was deferred)
+                self._finalize_pending()
 
     def _run(self) -> Dict[str, Any]:
         a = self.args

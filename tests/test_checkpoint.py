@@ -121,3 +121,35 @@ def test_resume_keep_prunes_oldest(tmp_path):
     _, host = ckpt.load_train_state(ckpt.latest_resume_dir(out),
                                     jax.tree.map(jnp.zeros_like, state))
     assert host.get("mid") is True
+
+
+def test_async_save_publish_and_resume(tmp_path):
+    """Async snapshot: invisible to latest_resume_dir until finalize();
+    the saved values are the enqueue-time ones even if the caller rebinds
+    its state right after save() returns (orbax copies device->host before
+    returning); finalize publishes + prunes."""
+    state = _state()
+    out = str(tmp_path / "run")
+    ckpt.save_resume(out, 0, state, {"epoch": 0})            # baseline
+
+    pending = ckpt.save_resume_async(out, 1, state, {"epoch": 1}, keep=1)
+    # caller immediately rebinds/mutates its live state
+    state2 = jax.tree.map(lambda x: x + 1 if jnp.issubdtype(
+        x.dtype, jnp.integer) or jnp.issubdtype(x.dtype, jnp.floating)
+        else x, state)
+    del state2
+    # not yet visible for resume
+    assert ckpt.latest_resume_dir(out).endswith("resume_000000")
+
+    path = pending.finalize()
+    assert path.endswith("resume_000001")
+    assert ckpt.latest_resume_dir(out) == path
+    restored, host = ckpt.load_train_state(
+        path, jax.tree.map(jnp.zeros_like, state))
+    assert host["epoch"] == 1
+    _assert_tree_equal(restored, state)
+    # keep=1 pruned the baseline at finalize time
+    assert sorted(os.listdir(os.path.join(out, "checkpoints"))) == [
+        "resume_000001"]
+    # finalize is idempotent
+    assert pending.finalize() == path

@@ -241,3 +241,41 @@ def test_preempt_signal_handler_installs_and_restores():
         assert seen["prev"] == 1 and seen["cb"] == 1
     finally:
         signal.signal(signal.SIGUSR1, old)
+
+
+def test_async_snapshots_publish_and_resume(artifact_lists):
+    """--ckpt-async (orbax): shard writes overlap the next chunk; the
+    deferred publish still yields resumable snapshots. One run with
+    mid-epoch async snapshots must leave exactly resume_keep published
+    snapshot dirs, the newest of which restores bit-identically to the
+    trainer's final state at that snapshot point."""
+    from mri_acl_imagesegmentation_adsp_tpu.train import (
+        checkpoint as ckpt_lib)
+
+    tmp, train, val = artifact_lists
+    # 3 steps/epoch (12 train slices, batch 4), chunk 2 -> one async
+    # MID-epoch snapshot at step 2, plus an async EPOCH-end snapshot (the
+    # newest, taken after validation so it equals the final state)
+    args = _args(tmp, train, val, "mr_async", epochs=1, save_resume_steps=2,
+                 save_resume_every=1, ckpt_backend="orbax", ckpt_async=True,
+                 resume_keep=2)
+    t = UNet2DTrainer(args)
+    t.run()
+    assert t._pending_ckpt is None  # everything published by run()'s finally
+
+    root = Path(args.out_dir) / "checkpoints"
+    snaps = sorted(p.name for p in root.iterdir())
+    assert snaps == ["resume_000000_000002", "resume_000001"]
+
+    # the newest snapshot restores into a FRESH trainer bit-identically
+    args_res = _args(tmp, train, val, "mr_async", epochs=1,
+                     save_resume_steps=2, save_resume_every=1,
+                     ckpt_backend="orbax", ckpt_async=True, resume_keep=2,
+                     resume=True)
+    t2 = UNet2DTrainer(args_res)
+    _assert_states_equal(t.state, t2.state)
+
+    # misconfiguration is rejected up front
+    with pytest.raises(ValueError, match="orbax"):
+        UNet2DTrainer(_args(tmp, train, val, "mr_async_bad",
+                            ckpt_async=True))
