@@ -65,6 +65,10 @@ def main(argv=None) -> int:
                    help="Epochs between resume snapshots (0 disables).")
     p.add_argument("--resume-keep", type=int, default=0,
                    help="Keep only the newest N resume snapshots (0 = all).")
+    p.add_argument("--ckpt-async", action="store_true",
+                   help="Non-blocking resume snapshots (orbax backend "
+                        "only): shard writes overlap the next epoch; "
+                        "published at the next snapshot point or fit end.")
     p.add_argument("--preempt-save", action="store_true",
                    help="SIGTERM/SIGUSR1 -> resume snapshot at the next "
                         "epoch boundary, clean stop; rerun with --resume.")
@@ -113,7 +117,7 @@ def main(argv=None) -> int:
         weight_decay=args.weight_decay, epochs=args.epochs, seed=args.seed,
         amp=args.amp, batch_size=args.batch_size,
         num_workers=args.num_workers, ckpt_backend=args.ckpt_backend,
-        resume_keep=args.resume_keep)
+        resume_keep=args.resume_keep, ckpt_async=args.ckpt_async)
     trainer = VarNetTrainer(vargs, train_ds=train_ds, val_ds=val_ds,
                             mesh=mesh, pipe_mesh=pipe_mesh)
     if args.mode == "train":

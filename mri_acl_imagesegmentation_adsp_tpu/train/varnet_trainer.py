@@ -83,6 +83,7 @@ class VarNetArgs:
     num_workers: int = 0
     ckpt_backend: str = "msgpack"   # resume snapshot format: msgpack|orbax
     resume_keep: int = 0            # keep newest N snapshots (0 = all)
+    ckpt_async: bool = False        # non-blocking snapshots (orbax backend)
 
 
 def build_varnet_from_args(a, mesh=None) -> VarNet:
@@ -107,6 +108,9 @@ class VarNetTrainer:
     def __init__(self, args: VarNetArgs, train_ds=None, val_ds=None,
                  mesh=None, pipe_mesh=None):
         self.args = args
+        if args.ckpt_async and args.ckpt_backend != "orbax":
+            raise ValueError("ckpt_async requires ckpt_backend='orbax'")
+        self._pending_ckpt = None
         os.makedirs(args.out_dir, exist_ok=True)
         self.train_ds = train_ds
         self.val_ds = val_ds
@@ -355,11 +359,23 @@ class VarNetTrainer:
         ckpt_lib.save_best(self.best_path, self.params, {},
                            asdict(self.args))
 
+    def _finalize_pending(self) -> None:
+        p = getattr(self, "_pending_ckpt", None)
+        if p is not None:
+            p.finalize()
+            self._pending_ckpt = None
+
     def _save_resume(self, epoch: int) -> None:
+        state = {"params": self.params, "opt_state": self.opt_state}
+        host = {"epoch": epoch, "best_val": self.best_val}
+        if self.args.ckpt_async:
+            self._finalize_pending()
+            self._pending_ckpt = ckpt_lib.save_resume_async(
+                self.args.out_dir, epoch, state, host,
+                keep=self.args.resume_keep)
+            return
         ckpt_lib.save_resume(
-            self.args.out_dir, epoch,
-            {"params": self.params, "opt_state": self.opt_state},
-            {"epoch": epoch, "best_val": self.best_val},
+            self.args.out_dir, epoch, state, host,
             backend=self.args.ckpt_backend, keep=self.args.resume_keep)
 
     def try_resume(self) -> bool:
@@ -387,7 +403,10 @@ class VarNetTrainer:
             preempt_save: bool = False) -> Dict[str, Any]:
         from .trainer import _preempt_signals
         with _preempt_signals(preempt_save, self.request_preempt):
-            return self._fit(resume, save_resume_every)
+            try:
+                return self._fit(resume, save_resume_every)
+            finally:
+                self._finalize_pending()
 
     def _fit(self, resume: bool = False, save_resume_every: int = 0
              ) -> Dict[str, Any]:

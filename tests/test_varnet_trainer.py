@@ -207,3 +207,30 @@ def test_varnet_preempt_saves_snapshot_and_stops(tmp_path, rng):
     t2 = VarNetTrainer(args, train_ds=train, val_ds=val)
     result2 = t2.fit(resume=True)
     assert [h["epoch"] for h in result2["history"]] == [3, 4]
+
+
+def test_varnet_async_snapshots_and_retention(tmp_path, rng):
+    """ckpt_async + resume_keep on the VarNet trainer: every epoch's async
+    snapshot is published (fit's finally drains the pending one), only the
+    newest resume_keep survive, and a fresh trainer resumes from the
+    newest. Misconfiguration (async without orbax) is rejected up front."""
+    import os
+
+    train = _fake_samples(rng, n=2)
+    val = _fake_samples(rng, n=2, fname="volA.h5")
+    args = VarNetArgs(out_dir=str(tmp_path), bvalue="b50", num_cascades=1,
+                      chans=4, pools=2, sens_chans=4, sens_pools=2,
+                      epochs=3, crop=12, amp=False,
+                      ckpt_backend="orbax", ckpt_async=True, resume_keep=1)
+    t = VarNetTrainer(args, train_ds=train, val_ds=val)
+    t.fit(save_resume_every=1)
+    assert t._pending_ckpt is None
+    snaps = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+    assert snaps == ["resume_000003"], snaps
+
+    t2 = VarNetTrainer(args, train_ds=train, val_ds=val)
+    result2 = t2.fit(resume=True)
+    assert result2["history"] == []             # already at epochs=3
+
+    with pytest.raises(ValueError, match="orbax"):
+        VarNetTrainer(VarNetArgs(out_dir=str(tmp_path), ckpt_async=True))
