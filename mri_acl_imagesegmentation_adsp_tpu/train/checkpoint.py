@@ -26,11 +26,16 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import jax
 from flax import serialization
+
+# prune_resume_dirs skips *.tmp dirs younger than this (possible in-flight
+# async snapshot from a concurrent writer); see its docstring invariant.
+_TMP_GRACE_S = 300.0
 
 
 def save_best(path: str, params, batch_stats, args_dict: Dict[str, Any]) -> None:
@@ -168,7 +173,9 @@ class PendingSnapshot:
 
 
 def save_train_state_async(dirpath: str, state,
-                           host_state: Dict[str, Any]) -> PendingSnapshot:
+                           host_state: Dict[str, Any],
+                           out_dir: Optional[str] = None,
+                           keep: int = 0) -> PendingSnapshot:
     """Non-blocking snapshot (orbax only): enqueue and return.
 
     orbax's AsyncCheckpointer copies device arrays to host BEFORE
@@ -176,6 +183,9 @@ def save_train_state_async(dirpath: str, state,
     live training state; only the disk writes overlap the next steps. The
     caller must finalize() before starting another snapshot of the same
     run and before relying on the snapshot for resume.
+
+    ``out_dir``/``keep`` are forwarded to the PendingSnapshot so its
+    finalize() prunes old resume snapshots after publishing this one.
     """
     tmp = dirpath + ".tmp"
     if _is_primary():
@@ -190,7 +200,7 @@ def save_train_state_async(dirpath: str, state,
     _multihost_sync("ckpt:async-tmp-ready")
     _, ckptr = _orbax_checkpointer()
     ckptr.save(os.path.abspath(os.path.join(tmp, "state.orbax")), state)
-    return PendingSnapshot(ckptr, tmp, dirpath)
+    return PendingSnapshot(ckptr, tmp, dirpath, out_dir=out_dir, keep=keep)
 
 
 def save_resume_async(out_dir: str, epoch: int, state,
@@ -202,10 +212,8 @@ def save_resume_async(out_dir: str, epoch: int, state,
     name = f"resume_{epoch:06d}" if step is None else \
         f"resume_{epoch:06d}_{step:06d}"
     d = os.path.join(out_dir, "checkpoints", name)
-    pending = save_train_state_async(d, state, host_state)
-    pending._out_dir = out_dir
-    pending._keep = keep
-    return pending
+    return save_train_state_async(d, state, host_state,
+                                  out_dir=out_dir, keep=keep)
 
 
 def save_resume(out_dir: str, epoch: int, state,
@@ -242,7 +250,15 @@ def prune_resume_dirs(out_dir: str, keep: int) -> None:
     crash mid-prune can only lose OLD snapshots — latest_resume_dir still
     finds the newest one. Primary-process-only: on a shared filesystem the
     non-primary hosts must not race the rmtrees (same protocol as
-    save_train_state); a barrier afterwards keeps hosts in step."""
+    save_train_state); a barrier afterwards keeps hosts in step.
+
+    INVARIANT (tmp deletion safety): every trainer finalizes its single
+    pending async snapshot (PendingSnapshot.finalize → publish rename)
+    BEFORE any code path can reach a prune, so a ``*.tmp`` dir observed
+    here belongs to a crashed save, never an in-flight one. As a cheap
+    belt-and-braces guard for future callers (or two processes sharing
+    out_dir), tmp dirs touched within the last ``_TMP_GRACE_S`` seconds
+    are skipped rather than deleted."""
     root = os.path.join(out_dir, "checkpoints")
     if keep <= 0 or not os.path.isdir(root):
         return
@@ -254,9 +270,15 @@ def prune_resume_dirs(out_dir: str, keep: int) -> None:
                 continue
             full = os.path.join(root, dname)
             if dname.endswith(".tmp"):
-                # a tmp dir observed here is stale: the in-flight save (if
-                # any) was renamed away before prune ran
-                shutil.rmtree(full, ignore_errors=True)
+                # stale by the invariant above — but skip recently-touched
+                # tmp dirs in case a concurrent writer is mid-flush
+                try:
+                    recent = (time.time() - os.path.getmtime(full)
+                              < _TMP_GRACE_S)
+                except OSError:
+                    recent = False
+                if not recent:
+                    shutil.rmtree(full, ignore_errors=True)
                 continue
             has_state = (os.path.isfile(os.path.join(full, "state.msgpack"))
                          or os.path.isdir(os.path.join(full, "state.orbax")))

@@ -404,9 +404,18 @@ class VarNetTrainer:
         from .trainer import _preempt_signals
         with _preempt_signals(preempt_save, self.request_preempt):
             try:
-                return self._fit(resume, save_resume_every)
-            finally:
-                self._finalize_pending()
+                result = self._fit(resume, save_resume_every)
+            except BaseException:
+                # publish the last flushed async snapshot on crash, but
+                # never let a finalize failure mask the training exception
+                try:
+                    self._finalize_pending()
+                except Exception as exc:
+                    print(f"[varnet] finalize of pending snapshot failed "
+                          f"during crash handling: {exc!r}", flush=True)
+                raise
+            self._finalize_pending()
+            return result
 
     def _fit(self, resume: bool = False, save_resume_every: int = 0
              ) -> Dict[str, Any]:

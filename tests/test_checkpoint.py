@@ -106,15 +106,22 @@ def test_resume_keep_prunes_oldest(tmp_path):
     root = os.path.join(out, "checkpoints")
     assert len(os.listdir(root)) == 3
 
-    # a crashed save's leftover tmp dir
-    os.makedirs(os.path.join(root, "resume_000099.tmp"))
+    # a crashed save's leftover tmp dir (aged past the in-flight grace
+    # window) and a fresh one (possible concurrent in-flight flush)
+    stale = os.path.join(root, "resume_000099.tmp")
+    os.makedirs(stale)
+    os.utime(stale, (0, 0))
+    fresh = os.path.join(root, "resume_000098.tmp")
+    os.makedirs(fresh)
 
     # keep=2: epoch 3 + a mid-epoch snapshot (3 done, 40 steps into 4)
     ckpt.save_resume(out, 3, state, {"epoch": 3}, keep=2)
     ckpt.save_resume(out, 3, state, {"epoch": 3, "mid": True}, step=40,
                      keep=2)
     left = sorted(os.listdir(root))
-    assert left == ["resume_000003", "resume_000003_000040"]
+    # stale tmp swept; fresh tmp spared by the mtime grace guard
+    assert left == ["resume_000003", "resume_000003_000040",
+                    "resume_000098.tmp"]
     # the survivor picked for resume is the mid-epoch one (newest)
     assert ckpt.latest_resume_dir(out).endswith("resume_000003_000040")
     # survivors still load
