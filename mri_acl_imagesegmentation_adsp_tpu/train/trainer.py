@@ -247,6 +247,16 @@ class UNet2DTrainer:
                             if self.args.imagenet_norm else self.args.k),
                            jnp.float32)
         self.state: TrainState = self.engine.init_state(init_rng, sample)
+        from ..models.factory import validate_encoder_weights
+        ew_path = validate_encoder_weights(a.encoder_weights)
+        if ew_path is not None:
+            # pretrained-encoder import (smp encoder_weights semantics:
+            # only the encoder subtree comes from the checkpoint)
+            from ..models.torch_import import apply_encoder_weights
+            self.state = apply_encoder_weights(self.state, ew_path,
+                                               a.encoder)
+            print(f"[trainer] encoder initialized from torch checkpoint "
+                  f"{ew_path}")
 
     # ------------------------------------------------------------------
     # Resume
@@ -459,12 +469,21 @@ class UNet2DTrainer:
     def run(self) -> Dict[str, Any]:
         with _preempt_signals(self.args.preempt_save, self.request_preempt):
             try:
-                return self._run()
-            finally:
+                result = self._run()
+            except BaseException:
                 # a crash between snapshots must still publish the last
                 # fully-flushed async snapshot (it is complete data; only
-                # the rename was deferred)
-                self._finalize_pending()
+                # the rename was deferred) — but a finalize failure (failed
+                # orbax write, or a multihost barrier after a one-host
+                # crash) must never mask the training exception
+                try:
+                    self._finalize_pending()
+                except Exception as exc:
+                    print(f"[trainer] finalize of pending snapshot failed "
+                          f"during crash handling: {exc!r}", flush=True)
+                raise
+            self._finalize_pending()
+            return result
 
     def _run(self) -> Dict[str, Any]:
         a = self.args
