@@ -211,13 +211,17 @@ class QuantizedUNet2D:
                 kind = "_Bottleneck_" if bottleneck else "_BasicBlock_"
                 p = f"enc/{kind}{bi}/"
                 residual = y
+                # explicit (1,1) on the 3x3 block convs mirrors unet2d's
+                # torch-faithful padding (XLA SAME would pad (0,1) at
+                # stride 2); identical to SAME at stride 1
+                p11 = [(1, 1), (1, 1)]
                 if bottleneck:
                     y = cbr(p, 0, y)
-                    y = cbr(p, 1, y, stride=stride)
+                    y = cbr(p, 1, y, stride=stride, padding=p11)
                     y = cbr(p, 2, y, relu=False)
                     ds = 3
                 else:
-                    y = cbr(p, 0, y, stride=stride)
+                    y = cbr(p, 0, y, stride=stride, padding=p11)
                     y = cbr(p, 1, y, relu=False)
                     ds = 2
                 if f"{p}Conv_{ds}" in tree:

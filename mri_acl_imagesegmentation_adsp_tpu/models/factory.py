@@ -17,6 +17,27 @@ from .unet2d import ResNetEncoderUNet, UNetPlusPlus
 from .unet3d import ResidualUNet3D
 
 
+def validate_encoder_weights(encoder_weights) -> str | None:
+    """Normalize the factory's ``encoder_weights``: None for random init,
+    else the validated checkpoint path."""
+    import os
+
+    ew = str(encoder_weights)
+    if ew.lower() in ("none", "null"):
+        return None
+    if os.path.exists(ew):
+        return ew
+    if ew.lower() == "imagenet":
+        raise ValueError(
+            "encoder_weights='imagenet' needs a weight download; this "
+            "environment has no network. Pass a local torch ResNet "
+            "checkpoint path instead (torchvision state_dict layout; smp "
+            "'encoder.'-prefixed checkpoints also load)")
+    raise ValueError(
+        f"encoder_weights {encoder_weights!r} is neither 'none' nor an "
+        "existing checkpoint file")
+
+
 def build_unet(
     model: str = "unet",
     encoder: str = "resnet34",
@@ -28,15 +49,17 @@ def build_unet(
 ):
     """Build a 2-D segmentation U-Net.
 
-    ``encoder_weights`` other than none/null is rejected: pretrained torch
-    encoder weights are not portable to this framework (the reference's
-    committed run used encoder_weights="none").
+    ``encoder_weights`` (reference src/models/unet_factory.py:12-30
+    semantics): "none"/"null" = random init (the committed benchmark run's
+    config); a filesystem path = a torch ResNet ``state_dict`` checkpoint
+    the trainer imports into the encoder after init
+    (models/torch_import.py — torchvision layout, smp ``encoder.`` prefix
+    accepted). "imagenet" is rejected with guidance: there is no weight
+    zoo reachable from this environment, so the download smp performs must
+    be replaced by pointing at a local checkpoint file.
     """
     del in_ch  # Flax infers input channel count at init time
-    if str(encoder_weights).lower() not in ("none", "null"):
-        raise ValueError(
-            "pretrained encoder weights are not supported in the TPU build; "
-            "use encoder_weights='none' (the reference's benchmark config)")
+    validate_encoder_weights(encoder_weights)
     m = model.lower()
     if m == "unet":
         return ResNetEncoderUNet(encoder=encoder, classes=classes, dtype=dtype, **kw)

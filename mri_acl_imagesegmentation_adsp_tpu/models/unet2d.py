@@ -51,8 +51,12 @@ class _BasicBlock(nn.Module):
                                     momentum=0.9, epsilon=1e-5,
                                     dtype=self.dtype)
         residual = x
+        # explicit (1,1) padding: for the stride-2 blocks XLA "SAME" would
+        # pad (0,1) where torch ResNet pads (1,1) — the symmetric form is
+        # required for torch-checkpoint import parity (torch_import.py);
+        # identical to SAME at stride 1
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(x)
         y = norm()(y)
         y = nn.relu(y)
@@ -84,7 +88,8 @@ class _Bottleneck(nn.Module):
                     kernel_init=_conv_init)(x)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.features, (3, 3),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)],   # torch parity, see _BasicBlock
                     use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(y)
         y = nn.relu(norm()(y))
