@@ -39,6 +39,30 @@ def test_launcher_help_runs():
         assert flag in out.stdout
 
 
+def test_launcher_preset_overlay():
+    """--preset tuned-v5e applies the measured b128 bundle; explicit flags
+    win over the preset (launcher.apply_preset contract)."""
+    from mri_acl_imagesegmentation_adsp_tpu.cli.launcher import (
+        apply_preset, build_parser)
+
+    parser = build_parser()
+    argv = ["--preset", "tuned-v5e", "--skip-preprocess", "--skip-split",
+            "--skip-train"]
+    ns = apply_preset(parser, parser.parse_args(argv), argv)
+    assert ns.batch_size == 128
+    assert abs(ns.lr - 4e-3) < 1e-12
+    assert ns.amp is True and ns.aug == "light"   # untouched defaults
+
+    argv2 = argv + ["--batch-size", "32", "--lr=2e-3"]
+    ns2 = apply_preset(parser, parser.parse_args(argv2), argv2)
+    assert ns2.batch_size == 32      # explicit flag beats the preset
+    assert abs(ns2.lr - 2e-3) < 1e-12   # --flag=value form detected too
+
+    argv3 = ["--skip-preprocess", "--skip-split", "--skip-train"]
+    ns3 = apply_preset(parser, parser.parse_args(argv3), argv3)
+    assert ns3.batch_size == 8       # no preset -> reference defaults
+
+
 def test_jax_platforms_env_honored_in_subprocess():
     """Importing the package makes JAX_PLATFORMS effective even though
     sitecustomize pre-imports jax (so CLI subprocesses asked to run on CPU
