@@ -343,8 +343,26 @@ def evaluate_volume(pred_mask: np.ndarray, gt_mask: np.ndarray,
     i = jax.vmap(iou_bin)(pred, gt)
     out = {"dice": float(jnp.mean(d)), "iou": float(jnp.mean(i))}
     if with_surface:
-        h95 = jax.vmap(lambda p, g: _hd95(p, g, spacing))(pred, gt)
-        sd = jax.vmap(lambda p, g: _assd(p, g, spacing))(pred, gt)
-        out["hd95"] = float(jnp.mean(h95))
-        out["assd"] = float(jnp.mean(sd))
+        # The exact EDT materializes an (H, W, W) envelope per slice
+        # (ops/edt.py) — ~131 MB at 320². Chunk the slice vmap so a
+        # whole protocol-scale volume (100+ slices) never puts the full
+        # (S, H, W, W) intermediate in HBM at once (a 112-slice volume
+        # OOM'd the 16 GB chip); the last chunk pads by repeating its
+        # final slice and the padded rows are dropped before averaging.
+        n = int(pred.shape[0])
+        c = min(8, n)
+        surf = jax.jit(jax.vmap(lambda p, g: jnp.stack(
+            [_hd95(p, g, spacing), _assd(p, g, spacing)])))
+        vals = []
+        for s0 in range(0, n, c):
+            pc, gc = pred[s0:s0 + c], gt[s0:s0 + c]
+            keep = int(pc.shape[0])
+            if keep < c:
+                pad = c - keep
+                pc = jnp.concatenate([pc, jnp.repeat(pc[-1:], pad, 0)])
+                gc = jnp.concatenate([gc, jnp.repeat(gc[-1:], pad, 0)])
+            vals.append(np.asarray(surf(pc, gc))[:keep])
+        vals = np.concatenate(vals, axis=0)                  # (S, 2)
+        out["hd95"] = float(vals[:, 0].mean())
+        out["assd"] = float(vals[:, 1].mean())
     return out

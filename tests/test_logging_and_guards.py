@@ -56,6 +56,7 @@ def test_training_is_deterministic_given_seed(tmp_path, rng):
     assert h1 == h2
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_non_finite_loss_guard_names_step(tmp_path, rng):
     """Reference engine.py:92-93 aborts on NaN loss with the step index."""
     from mri_acl_imagesegmentation_adsp_tpu.train.trainer import (

@@ -237,6 +237,7 @@ def test_bf16_link_transfer_close_to_f32(fake_fastmri_root):
         pre.preprocess_volumes_pairs(pairs, transfer_dtype="float16")
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_corpus_preprocess_round_robin_devices(fake_fastmri_root):
     """devices=: volumes round-robin across chips; results are
     placement-invariant (bit-equal to the default-device path)."""

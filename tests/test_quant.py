@@ -113,6 +113,7 @@ def test_int8_prediction_agreement(trained):
     assert corr > 0.99, f"logit correlation {corr}"
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_int8_tree_is_int8_and_roundtrips(trained, tmp_path):
     from mri_acl_imagesegmentation_adsp_tpu.infer.quant import (
         load_qtree, save_qtree)

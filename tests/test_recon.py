@@ -197,6 +197,7 @@ def test_t2_reconstruction_bf16_link_within_tolerance(rng):
                           transfer_dtype="int8")
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_t2_reconstruction_mesh_matches_unsharded(rng):
     """Slice-sharded T2 recon over a 2-device mesh == the single-device
     pipeline (classical recon is per-slice independent; the hole-fill

@@ -80,6 +80,7 @@ def test_sharded_store_matches_replicated(rng):
     assert abs(vd0 - vd1) < 1e-6 and abs(vi0 - vi1) < 1e-6
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_sharded_validate_ignores_padding_rows(rng):
     """validate() on a sharded store must only see [0, num_slices) — the
     repeat-padded rows cannot leak into the metrics."""
