@@ -216,7 +216,12 @@ class _ModelRunner:
                 self.apply_fn, [v.astype(np.float32) for v in vols],
                 k=self.k, batch_size=self.batch_size,
                 classes=self.classes, mesh=self.mesh,
-                masks_only_threshold=mask_threshold)
+                masks_only_threshold=mask_threshold,
+                # bound the compiled-program count under varying group
+                # sizes (see _run_scanned.pad_steps_pow2 — without this a
+                # high-concurrency micro-batched daemon recompiles per
+                # realized group size and collapses on slow-compile relays)
+                pad_steps_pow2=self.batcher is not None)
             dt = time.perf_counter() - t0
             with self.stats_lock:
                 self.last_latency_s = dt

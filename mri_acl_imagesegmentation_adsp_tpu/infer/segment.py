@@ -153,17 +153,35 @@ def tta_wrap(apply_fn: Callable, classes: int, tta: str) -> Callable:
 
 def _run_scanned(apply_fn: Callable, x: jnp.ndarray, batch_size: int,
                  classes: int, mesh,
-                 mask_threshold: float | None = None) -> np.ndarray:
+                 mask_threshold: float | None = None,
+                 pad_steps_pow2: bool = False) -> np.ndarray:
     """(S,H,W,k) slice stack -> (S,C,H,W) probabilities (default) or
     (S,H,W) uint8 masks (mask_threshold set — on-device threshold), one
     scan dispatch (shared core of segment_volume_2d / segment_volumes_2d).
+
+    ``pad_steps_pow2``: round the scan length up to the next power of two
+    (padding with repeats of the last slice, dropped from the output).
+    The compiled program's shape is (steps, batch, H, W, k), so every
+    distinct total slice count otherwise compiles a NEW program — under
+    the serving micro-batcher the realized group size varies request to
+    request, and on backends with expensive compiles (the remote TPU
+    relay: tens of seconds each) that measured as a collapse from 40 to
+    1.6 req/s at 8 concurrent clients. Power-of-two step bucketing bounds
+    the program count to log2(max group slices / batch) at a worst-case
+    ~2x compute pad; OFF for the CLI/per-volume paths where the slice
+    count is fixed per run.
     """
     s = x.shape[0]
     batch_size = min(batch_size, s)
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
         batch_size = ((batch_size - 1) // n_dev + 1) * n_dev
-    pad = (-s) % batch_size
+    total = s + ((-s) % batch_size)
+    if pad_steps_pow2:
+        steps = total // batch_size
+        steps_p2 = 1 << (steps - 1).bit_length()
+        total = steps_p2 * batch_size
+    pad = total - s
     if pad:
         x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
     x_all = x.reshape(-1, batch_size, *x.shape[1:])
@@ -226,8 +244,8 @@ def _masked_runner(apply_fn: Callable, classes: int) -> Callable:
 
 def segment_volumes_2d(apply_fn: Callable, volumes, k: int = 1,
                        batch_size: int = 16, classes: int = 1,
-                       mesh=None, masks_only_threshold: float | None = None
-                       ) -> list:
+                       mesh=None, masks_only_threshold: float | None = None,
+                       pad_steps_pow2: bool = False) -> list:
     """Segment SEVERAL volumes in ONE scan dispatch (cross-request
     micro-batching for the serving daemon, cli/serve.py).
 
@@ -265,10 +283,12 @@ def segment_volumes_2d(apply_fn: Callable, volumes, k: int = 1,
     sizes = [int(v.shape[0]) for v in vols]
     bounds = np.cumsum([0] + sizes)
     if masks_only_threshold is None:
-        probs = _run_scanned(apply_fn, x, batch_size, classes, mesh)
+        probs = _run_scanned(apply_fn, x, batch_size, classes, mesh,
+                             pad_steps_pow2=pad_steps_pow2)
         return [probs[bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
     out = _run_scanned(apply_fn, x, batch_size, classes, mesh,
-                       mask_threshold=float(masks_only_threshold))
+                       mask_threshold=float(masks_only_threshold),
+                       pad_steps_pow2=pad_steps_pow2)
     return [out[bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
 
 

@@ -437,6 +437,33 @@ def test_segment_volumes_2d_exactly_equals_per_volume(served):
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_segment_volumes_2d_pow2_step_padding_equal(served):
+    """pad_steps_pow2=True (the micro-batcher's bounded-program-count
+    mode) returns the same probabilities as the unpadded path — the pad
+    rows are repeats of the last slice and are dropped from the output.
+    Covers a non-pow2 step count (13 slices / batch 4 -> 4 steps padded
+    from ceil=4... use 9 slices / batch 2 -> 5 steps -> pads to 8) and
+    the mask-only on-device-threshold variant."""
+    from mri_acl_imagesegmentation_adsp_tpu.infer import segment_volumes_2d
+    _, apply_fn = served
+    rng = np.random.default_rng(11)
+    vols = [rng.standard_normal((s, 32, 32)).astype(np.float32)
+            for s in (4, 5)]                     # 9 slices: 5 steps @ b2
+    want = segment_volumes_2d(apply_fn, vols, k=1, batch_size=2)
+    got = segment_volumes_2d(apply_fn, vols, k=1, batch_size=2,
+                             pad_steps_pow2=True)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-6)
+
+    wm = segment_volumes_2d(apply_fn, vols, k=1, batch_size=2,
+                            masks_only_threshold=0.5)
+    gm = segment_volumes_2d(apply_fn, vols, k=1, batch_size=2,
+                            masks_only_threshold=0.5, pad_steps_pow2=True)
+    for w, g in zip(wm, gm):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_segment_volumes_2d_25d_and_shape_guard(served):
     from mri_acl_imagesegmentation_adsp_tpu.infer import (
         segment_volume_2d, segment_volumes_2d)
