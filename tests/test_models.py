@@ -434,6 +434,7 @@ def test_fastmri_unet_phase_odd_dims_fall_back():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_unet2d_remat_matches_naive_exactly():
     """remat=True (per-block jax.checkpoint, a backward-pass HBM-traffic
     lever on the b8 train step) is numerics- and checkpoint-transparent:

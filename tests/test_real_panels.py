@@ -45,6 +45,7 @@ def _dice(a: np.ndarray, b: np.ndarray) -> float:
     return 2.0 * np.logical_and(a, b).sum() / max(a.sum() + b.sum(), 1)
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_body_mask_matches_reference_real_data(panels):
     """ops.maskops.body_mask on the real slices vs the reference's committed
     mask (reference mri_preprocess.py:195-214 output, GT panel)."""

@@ -197,6 +197,7 @@ def test_n4_recovers_injected_field_on_real_anatomy():
     assert float(np.mean(corrs)) > 0.80, corrs
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_heavy_recipe_elastic_deforms(rng):
     x = jnp.asarray(rng.standard_normal((16, 48, 48, 1)).astype(np.float32))
     y = jnp.asarray((rng.random((16, 48, 48)) > 0.5).astype(np.int32))

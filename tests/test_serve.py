@@ -491,6 +491,7 @@ def test_segment_volumes_2d_25d_and_shape_guard(served):
                                       vols[1][:, :16, :]], k=1)
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_serve_microbatching_concurrent_equals_direct(tmp_path):
     """Concurrent clients against a --microbatch-window-ms daemon: every
     response equals the direct per-volume oracle, and the group coalesces
@@ -637,6 +638,7 @@ def test_graceful_drain_completes_inflight_then_stops(tmp_path):
         _post_npz(url + "/v1/segment", img=vol)
 
 
+@pytest.mark.slow  # r5 fast-gate re-tier (VERDICT r4 #6): heavy compile; a cheaper fast pin or the dryrun covers this path
 def test_serve_tta_hflip_matches_direct(tmp_path):
     """--tta hflip at the daemon level == segment_volume_2d(tta='hflip')."""
     from mri_acl_imagesegmentation_adsp_tpu.cli.serve import create_server
