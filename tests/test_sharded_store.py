@@ -177,7 +177,11 @@ def test_distributed_init_is_gated(monkeypatch):
     assert distributed_init(num_processes=1) is False
 
 
-@pytest.mark.slow
+@pytest.mark.nightly  # r5: this compile segfaulted XLA's CPU backend twice
+# deep into monolithic full-suite runs (heap state from ~100 prior
+# compiles; module-isolated runs pass in 3:32 and the fast grid-math +
+# dryrun DP stanzas cover the multihost wiring). Kept in the nightly
+# tier where it runs in a fresher process.
 def test_multihost_mesh_trains_on_single_host(rng):
     """hosts=1 degenerate multi-host mesh: the 2-D ("hosts","data") path
     must compile and match the 1-D data mesh numerically."""
